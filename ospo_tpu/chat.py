@@ -1,0 +1,89 @@
+"""Chat templating for the Janus-Pro / DeepSeek conversation format.
+
+The only template the OSPO pipeline uses is ``"deepseek"``
+(``janus/utils/conversation.py:293-309``): roles ``<|User|>`` /
+``<|Assistant|>``, turn separator ``"\n\n"``, end-of-conversation separator
+``<｜end▁of▁sentence｜>``, rendered as::
+
+    {system}\n\n<|User|>: {msg}\n\n<|Assistant|>:{answer}<｜end▁of▁sentence｜>
+
+with the system block omitted entirely when the system message is empty.
+We implement that format directly instead of a multi-style registry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence, Tuple
+
+from ospo_tpu.constants import EOS_TAG
+
+DEFAULT_SYSTEM_PROMPT = (
+    "You are a helpful language and vision assistant. "
+    "You are able to understand the visual content that the user provides, "
+    "and assist the user with a variety of tasks using natural language."
+)
+
+USER_ROLE = "<|User|>"
+ASSISTANT_ROLE = "<|Assistant|>"
+
+
+@dataclass
+class ChatTemplate:
+    """DeepSeek-style two-role chat template."""
+
+    sep: str = "\n\n"
+    sep2: str = EOS_TAG
+    roles: Tuple[str, str] = (USER_ROLE, ASSISTANT_ROLE)
+
+    def render(
+        self,
+        messages: Sequence[Tuple[str, str]],
+        system_prompt: str = "",
+    ) -> str:
+        """Render (role, content) turns; empty content leaves an open turn
+        (``"<|Assistant|>:"``) for the model to complete."""
+        parts: List[str] = []
+        if system_prompt:
+            parts.append(system_prompt + self.sep)
+        # NOTE: role strings are rendered verbatim — the reference appends the
+        # role given in each message dict, so step-3 T2I prompts read
+        # "User: ..." while step-4 VQA prompts read "<|User|>: ...".
+        seps = (self.sep, self.sep2)
+        for i, (role, message) in enumerate(messages):
+            if message:
+                parts.append(f"{role}: {message}{seps[i % 2]}")
+            else:
+                parts.append(f"{role}:")
+        return "".join(parts)
+
+
+_TEMPLATE = ChatTemplate()
+
+
+def apply_sft_template(
+    conversations: Sequence[Dict[str, str]],
+    system_prompt: str = "",
+) -> str:
+    """Render a conversation (list of ``{"role", "content"}`` dicts) to the
+    SFT prompt string.  Content is stripped and the final prompt stripped,
+    matching ``apply_sft_template_for_multi_turn_prompts``
+    (``janus/models/processing_vlm.py:137-177``)."""
+    msgs = [(m["role"], m["content"].strip()) for m in conversations]
+    return _TEMPLATE.render(msgs, system_prompt=system_prompt).strip()
+
+
+def t2i_conversation(prompt: str) -> List[Dict[str, str]]:
+    """Single-turn text-to-image conversation (``ospo/utils/processor.py:8-17``).
+
+    Uses bare "User"/"Assistant" role strings exactly like the reference's
+    ``get_conversation`` — this affects tokenization of every T2I prompt.
+    """
+    return [
+        {"role": "User", "content": prompt},
+        {"role": "Assistant", "content": ""},
+    ]
+
+
+def get_sft_format(system_prompt: str, conversation: Sequence[Dict[str, str]]) -> str:
+    return apply_sft_template(conversation, system_prompt=system_prompt)

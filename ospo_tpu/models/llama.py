@@ -1,0 +1,316 @@
+"""Llama-architecture decoder in pure-functional JAX.
+
+The Janus-Pro language model is a DeepSeek-LLM (Llama-arch) decoder — the
+reference instantiates it as ``LlamaForCausalLM(language_config)``
+(``janus/models/modeling_vlm.py:218-219``) and never modifies the
+architecture.  This is a from-scratch TPU-first implementation:
+
+- all per-layer weights are **stacked** along a leading layer axis and the
+  forward pass is a single ``jax.lax.scan`` over layers → one compiled layer
+  body instead of 30 unrolled ones;
+- a preallocated fixed-shape KV cache (``[n_layers, B, S_max, H, Dh]``)
+  updated with ``lax.dynamic_update_slice`` supports left-padded prefill and
+  single-token decode without retracing;
+- attention dispatches to a Pallas flash kernel on TPU prefill and a fused
+  XLA path elsewhere (see :mod:`ospo_tpu.ops.attention`);
+- weights live in bf16; RMSNorm/softmax/rotary run in fp32.
+
+Numerics are verified against ``transformers.LlamaForCausalLM`` in
+``tests/test_llama_parity.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ospo_tpu.ops.attention import attention
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 102400
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 30
+    num_heads: int = 32
+    num_kv_heads: Optional[int] = None  # None → MHA
+    head_dim: Optional[int] = None
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+    max_seq_len: int = 4096
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+    @property
+    def dim_head(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+
+# DeepSeek-LLM-7B-base — the Janus-Pro-7B language config
+# (hidden 4096 cited at ospo/wrapper/train.py:231; 30 layers / 32 heads /
+# intermediate 11008 / vocab 102400 from the HF checkpoint config).
+LLAMA_7B = LlamaConfig()
+
+# DeepSeek-LLM-1.3B — the Janus-Pro-1B language config.
+LLAMA_1B = LlamaConfig(
+    hidden_size=2048, intermediate_size=5632, num_layers=24, num_heads=16
+)
+
+
+def tiny_config(
+    vocab_size: int = 512,
+    hidden_size: int = 64,
+    intermediate_size: int = 128,
+    num_layers: int = 2,
+    num_heads: int = 4,
+    max_seq_len: int = 512,
+    dtype: Any = jnp.float32,
+) -> LlamaConfig:
+    return LlamaConfig(
+        vocab_size=vocab_size,
+        hidden_size=hidden_size,
+        intermediate_size=intermediate_size,
+        num_layers=num_layers,
+        num_heads=num_heads,
+        max_seq_len=max_seq_len,
+        dtype=dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# parameter initialisation
+# ---------------------------------------------------------------------------
+
+
+def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
+    """Random-init a stacked-layer parameter tree."""
+    d, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    h, kvh, dh, n = cfg.num_heads, cfg.kv_heads, cfg.dim_head, cfg.num_layers
+    keys = jax.random.split(key, 10)
+    std = 0.02
+
+    def norm(k, *shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(cfg.dtype)
+
+    return {
+        "embed": norm(keys[0], v, d),
+        "layers": {
+            "attn_norm": jnp.ones((n, d), cfg.dtype),
+            "wq": norm(keys[1], n, d, h * dh),
+            "wk": norm(keys[2], n, d, kvh * dh),
+            "wv": norm(keys[3], n, d, kvh * dh),
+            "wo": norm(keys[4], n, h * dh, d),
+            "mlp_norm": jnp.ones((n, d), cfg.dtype),
+            "w_gate": norm(keys[5], n, d, i),
+            "w_up": norm(keys[6], n, d, i),
+            "w_down": norm(keys[7], n, i, d),
+        },
+        "final_norm": jnp.ones((d,), cfg.dtype),
+        "lm_head": norm(keys[8], d, v),
+    }
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    rms = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return ((xf * rms).astype(x.dtype) * weight).astype(x.dtype)
+
+
+def rope_frequencies(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for the given positions ([B, T] → [B, T, Dh/2])."""
+    dh = cfg.dim_head
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [B, T, Dh/2]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """HF-Llama rotate-half convention. x: [B, T, H, Dh]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    cos = cos[:, :, None, :]  # [B, T, 1, Dh/2]
+    sin = sin[:, :, None, :]
+    xf1 = x1.astype(jnp.float32)
+    xf2 = x2.astype(jnp.float32)
+    out = jnp.concatenate([xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]],
+                name: str, scaling: float) -> jax.Array:
+    """y = x @ w (+ scaling * (x @ A) @ B when a LoRA adapter exists).
+
+    ``lora`` holds per-projection stacked A/B for the current layer.
+    """
+    y = jnp.einsum("btd,df->btf", x, w)
+    if lora is not None and name in lora:
+        a, b = lora[name]["a"], lora[name]["b"]
+        y = y + scaling * jnp.einsum(
+            "btr,rf->btf", jnp.einsum("btd,dr->btr", x, a.astype(x.dtype)),
+            b.astype(x.dtype),
+        )
+    return y
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int) -> Dict[str, jax.Array]:
+    shape = (cfg.num_layers, batch, max_len, cfg.kv_heads, cfg.dim_head)
+    return {
+        "k": jnp.zeros(shape, cfg.dtype),
+        "v": jnp.zeros(shape, cfg.dtype),
+        "length": jnp.zeros((), jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: Params,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,          # [B, T, D]
+    attention_mask: jax.Array,         # [B, S] validity over *all* positions so far
+    positions: jax.Array,              # [B, T] rotary positions of the new tokens
+    kv_cache: Optional[Dict[str, jax.Array]] = None,
+    lora: Optional[Params] = None,
+    lora_scaling: float = 1.0,
+    remat: bool = False,
+    self_attn: bool = False,
+) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+    """Run the decoder trunk; returns final-norm hidden states.
+
+    Without a cache: ``attention_mask`` is ``[B, T]`` over the inputs and a
+    causal mask is applied.  With a cache: the new ``T`` tokens are written
+    at offset ``kv_cache['length']`` and queries attend to every valid cached
+    position ≤ their own absolute index; ``attention_mask`` must cover the
+    full cache window ``[B, S_max]``.
+
+    ``self_attn=True`` is a static prefill fast-path: the cache is still
+    written, but attention runs over the fresh ``[B, T]`` chunk only (valid
+    when the cache was empty).  This keeps prefill on the Pallas flash
+    kernel (T == S) instead of attending over the whole padded cache window;
+    ``attention_mask`` must then be ``[B, T]``.
+    """
+    x = inputs_embeds.astype(cfg.dtype)
+    cos, sin = rope_frequencies(cfg, positions)
+    use_cache = kv_cache is not None
+    cache_len = kv_cache["length"] if use_cache else None
+    T = x.shape[1]
+
+    def layer_body(carry, layer_in):
+        x = carry
+        lp, kcache, vcache, llora = layer_in
+
+        h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
+        q = _maybe_lora(h, lp["wq"], llora, "q_proj", lora_scaling)
+        k = _maybe_lora(h, lp["wk"], llora, "k_proj", lora_scaling)
+        v = _maybe_lora(h, lp["wv"], llora, "v_proj", lora_scaling)
+        B = h.shape[0]
+        q = q.reshape(B, T, cfg.num_heads, cfg.dim_head)
+        k = k.reshape(B, T, cfg.kv_heads, cfg.dim_head)
+        v = v.reshape(B, T, cfg.kv_heads, cfg.dim_head)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if use_cache:
+            kcache = jax.lax.dynamic_update_slice(
+                kcache, k.astype(kcache.dtype), (0, cache_len, 0, 0)
+            )
+            vcache = jax.lax.dynamic_update_slice(
+                vcache, v.astype(vcache.dtype), (0, cache_len, 0, 0)
+            )
+            if self_attn:
+                k_att, v_att = k, v
+                q_offset = 0
+            else:
+                k_att, v_att = kcache, vcache
+                q_offset = cache_len
+        else:
+            k_att, v_att = k, v
+            q_offset = 0
+
+        attn_out = attention(
+            q, k_att, v_att,
+            mask=attention_mask,
+            q_offset=q_offset,
+            causal=True,
+        )
+        attn_out = attn_out.reshape(B, T, cfg.num_heads * cfg.dim_head)
+        o = _maybe_lora(attn_out, lp["wo"], llora, "o_proj", lora_scaling)
+        x = x + o
+
+        h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
+        gate = _maybe_lora(h, lp["w_gate"], llora, "gate_proj", lora_scaling)
+        up = _maybe_lora(h, lp["w_up"], llora, "up_proj", lora_scaling)
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
+        down = _maybe_lora(act, lp["w_down"], llora, "down_proj", lora_scaling)
+        x = x + down
+        return x, (kcache, vcache) if use_cache else None
+
+    if remat:
+        layer_body = jax.checkpoint(layer_body)
+
+    layer_inputs = (
+        params["layers"],
+        kv_cache["k"] if use_cache else jnp.zeros((cfg.num_layers, 0)),
+        kv_cache["v"] if use_cache else jnp.zeros((cfg.num_layers, 0)),
+        lora if lora is not None else None,
+    )
+
+    # lax.scan needs every scanned input to share the leading layer axis;
+    # `lora=None` is handled by substituting an empty pytree.
+    if lora is None:
+        x_final, cache_out = jax.lax.scan(
+            lambda c, t: layer_body(c, (t[0], t[1], t[2], None)),
+            x,
+            (layer_inputs[0], layer_inputs[1], layer_inputs[2]),
+        )
+    else:
+        x_final, cache_out = jax.lax.scan(layer_body, x, layer_inputs)
+
+    x_final = rms_norm(x_final, params["final_norm"], cfg.rms_norm_eps)
+
+    new_cache = None
+    if use_cache:
+        new_cache = {
+            "k": cache_out[0],
+            "v": cache_out[1],
+            "length": kv_cache["length"] + T,
+        }
+    return x_final, new_cache
+
+
+def logits_from_hidden(params: Params, hidden: jax.Array) -> jax.Array:
+    return jnp.einsum("btd,dv->btv", hidden, params["lm_head"]).astype(jnp.float32)
+
+
+def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
+    return jnp.take(params["embed"], input_ids, axis=0)
+
+
+def positions_from_mask(attention_mask: jax.Array) -> jax.Array:
+    """Rotary positions for left-padded batches: cumsum of validity − 1,
+    clipped at 0 (pad positions get position 0, they're masked anyway)."""
+    return jnp.maximum(jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0)

@@ -1,0 +1,103 @@
+"""Attention ops: padded-causal attention over a (possibly cached) KV window.
+
+Two implementations behind one dispatcher:
+
+- :func:`xla_attention` — fused-by-XLA einsum attention, fp32 softmax.
+  Used for decode steps (T=1, bandwidth-bound — XLA already emits an
+  efficient fused kernel) and on CPU (tests).
+- :func:`ospo_tpu.ops.flash_attention.flash_attention` — a Pallas TPU
+  flash-attention kernel for prefill/training (T large), tiled for the MXU
+  with an online-softmax accumulator.
+
+Semantics (shared):
+  q: [B, T, H, Dh] — new queries, absolute cache rows [q_offset, q_offset+T)
+  k, v: [B, S, KVH, Dh] — full key/value window (cache or self)
+  mask: [B, S] validity of each key row (left-padding / unwritten rows = 0)
+  causal: row-causality — query row i may attend key row j iff
+          j <= q_offset + i.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def _repeat_kv(k: jax.Array, num_heads: int) -> jax.Array:
+    """Broadcast KV heads to query heads for GQA ([B,S,KVH,D] → [B,S,H,D])."""
+    kvh = k.shape[2]
+    if kvh == num_heads:
+        return k
+    reps = num_heads // kvh
+    return jnp.repeat(k, reps, axis=2)
+
+
+def xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    q_offset,
+    causal: bool = True,
+) -> jax.Array:
+    B, T, H, Dh = q.shape
+    S = k.shape[1]
+    k = _repeat_kv(k, H)
+    v = _repeat_kv(v, H)
+    scale = Dh ** -0.5
+
+    scores = jnp.einsum(
+        "bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+
+    allowed = jnp.ones((B, 1, T, S), dtype=bool)
+    if mask is not None:
+        allowed = allowed & mask[:, None, None, :].astype(bool)
+    if causal:
+        q_rows = q_offset + jnp.arange(T)[:, None]      # [T, 1]
+        k_rows = jnp.arange(S)[None, :]                  # [1, S]
+        allowed = allowed & (k_rows <= q_rows)[None, None, :, :]
+
+    scores = jnp.where(allowed, scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    q_offset=0,
+    causal: bool = True,
+    impl: str = "auto",
+) -> jax.Array:
+    """Dispatch to the Pallas flash kernel when profitable, else XLA.
+
+    Flash is used for TPU self-attention prefill (T == S, static offset 0):
+    that is where the O(T²) score matrix would otherwise round-trip HBM.
+    Decode steps (T == 1) stay on the XLA path.
+    """
+    if impl == "xla":
+        return xla_attention(q, k, v, mask, q_offset, causal)
+
+    use_flash = (
+        impl == "flash"
+        or (
+            impl == "auto"
+            and jax.default_backend() == "tpu"
+            and q.shape[1] > 1
+            and q.shape[1] == k.shape[1]
+            and q.shape[-1] % 128 == 0
+        )
+    )
+    if use_flash:
+        from ospo_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, mask=mask, causal=causal)
+    return xla_attention(q, k, v, mask, q_offset, causal)

@@ -1,0 +1,43 @@
+"""Flash-attention kernel vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ospo_tpu.ops.attention import xla_attention
+from ospo_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize("t,s_extra", [(128, 0), (200, 0)])
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_matches_xla(t, s_extra, causal):
+    key = jax.random.PRNGKey(0)
+    b, h, d = 2, 4, 128
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, t, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, t + s_extra, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, t + s_extra, h, d), jnp.float32)
+    # left-padding: first rows of batch row 1 invalid
+    mask = np.ones((b, t + s_extra), np.int32)
+    mask[1, :7] = 0
+    mask = jnp.asarray(mask)
+
+    ref = xla_attention(q, k, v, mask, q_offset=0, causal=causal)
+    out = flash_attention(q, k, v, mask=mask, causal=causal,
+                          blk_q=128, blk_k=128, interpret=True)
+    # padded query rows of the flash kernel are defined as 0; compare valid rows
+    valid_q = np.asarray(mask[:, :t], bool)
+    np.testing.assert_allclose(
+        np.asarray(out)[valid_q], np.asarray(ref)[valid_q], atol=2e-5, rtol=2e-5
+    )
+
+
+def test_fully_masked_rows_are_finite():
+    b, t, h, d = 1, 128, 2, 128
+    q = jnp.ones((b, t, h, d))
+    k = jnp.ones((b, t, h, d))
+    v = jnp.ones((b, t, h, d))
+    mask = jnp.zeros((b, t), jnp.int32)
+    out = flash_attention(q, k, v, mask=mask, interpret=True)
+    assert bool(jnp.all(jnp.isfinite(out)))
