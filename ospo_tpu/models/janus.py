@@ -1,0 +1,192 @@
+"""Janus-Pro multimodal model assembly in functional JAX.
+
+Composes the seven submodules of the reference ``MultiModalityCausalLM``
+(``janus/models/modeling_vlm.py:190-264``):
+
+  vision_model (SigLIP ViT) → aligner (mlp_gelu) ─┐ understanding path
+  gen_vision_model (VQ-GAN)                        │
+  gen_embed ([16384, 8] table) → gen_aligner ──────┤ generation path
+  gen_head (vision_head: hidden → 16384 logits)    │
+  language_model (Llama decoder) ──────────────────┘ shared trunk
+
+Everything is a param pytree + pure functions; `JanusModel` is a thin
+config-carrying namespace so engines can stay jit-friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ospo_tpu.models import llama, projector, vit, vqgan
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class JanusConfig:
+    language: llama.LlamaConfig = dataclasses.field(default_factory=lambda: llama.LLAMA_7B)
+    vision: vit.ViTConfig = dataclasses.field(default_factory=lambda: vit.SIGLIP_LARGE_384)
+    vq: vqgan.VQConfig = dataclasses.field(default_factory=lambda: vqgan.VQ_16)
+    gen_embed_dim: int = 8           # width of the gen_embed table rows
+    aligner_depth: int = 2
+    gen_aligner_depth: int = 2
+    image_token_size: int = 16384    # VQ codebook size = image vocab
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def n_embed(self) -> int:
+        return self.language.hidden_size
+
+    @property
+    def num_image_tokens(self) -> int:
+        """Tokens per image on the understanding path (ViT patches)."""
+        return self.vision.num_patches
+
+
+JANUS_PRO_7B = JanusConfig()
+JANUS_PRO_1B = JanusConfig(language=llama.LLAMA_1B)
+
+
+def tiny_janus_config(vocab_size: int = 512, dtype=jnp.float32) -> JanusConfig:
+    """A miniature Janus with the full module graph, for tests/CI.
+
+    Image side: 32px images, patch 16 → 4 understanding tokens; VQ with
+    2 levels → 16×16 latents on 32px images... kept at 4 tokens by using
+    ch_mult of length 2 (4× total downsample → 8×8) — tests override image
+    sizes explicitly where needed.
+    """
+    return JanusConfig(
+        language=llama.tiny_config(vocab_size=vocab_size, dtype=dtype),
+        vision=vit.tiny_vit_config(dtype=dtype),
+        vq=vqgan.tiny_vq_config(),
+        gen_embed_dim=8,
+        image_token_size=64,
+        dtype=dtype,
+    )
+
+
+def init_params(cfg: JanusConfig, key: jax.Array) -> Params:
+    k_lm, k_vit, k_vq, k_al, k_gal, k_gh, k_ge = jax.random.split(key, 7)
+    return {
+        "language_model": llama.init_params(cfg.language, k_lm),
+        "vision_model": vit.init_params(cfg.vision, k_vit),
+        "gen_vision_model": vqgan.init_params(cfg.vq, k_vq),
+        "aligner": projector.init_mlp_projector(
+            k_al, cfg.vision.width, cfg.n_embed, cfg.aligner_depth, cfg.dtype
+        ),
+        "gen_aligner": projector.init_mlp_projector(
+            k_gal, cfg.gen_embed_dim, cfg.n_embed, cfg.gen_aligner_depth, cfg.dtype
+        ),
+        "gen_head": projector.init_vision_head(
+            k_gh, cfg.n_embed, cfg.n_embed, cfg.image_token_size, cfg.dtype
+        ),
+        "gen_embed": (
+            jax.random.normal(k_ge, (cfg.image_token_size, cfg.gen_embed_dim),
+                              jnp.float32) * 0.02
+        ).astype(cfg.dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# embedding preparation
+# ---------------------------------------------------------------------------
+
+
+def embed_text(params: Params, input_ids: jax.Array) -> jax.Array:
+    return llama.embed_tokens(params["language_model"], input_ids)
+
+
+def encode_images(params: Params, cfg: JanusConfig, pixel_values: jax.Array) -> jax.Array:
+    """Understanding path: pixels [N, H, W, 3] → aligned embeds [N, T2, D]."""
+    feats = vit.forward(params["vision_model"], cfg.vision, pixel_values)
+    return projector.mlp_projector(params["aligner"], feats)
+
+
+def prepare_inputs_embeds(
+    params: Params,
+    cfg: JanusConfig,
+    input_ids: jax.Array,        # [B, T]
+    pixel_values: jax.Array,     # [B, n_images, H, W, 3]
+    images_seq_mask: jax.Array,  # [B, T] bool — where image embeds go
+    images_emb_mask: jax.Array,  # [B, n_images, T2] bool — which embeds used
+) -> jax.Array:
+    """Splice aligned image-patch embeddings into the text embedding stream.
+
+    TPU-native version of ``MultiModalityCausalLM.prepare_inputs_embeds``
+    (modeling_vlm.py:222-261): instead of boolean fancy-assignment we build a
+    gather index per sequence slot — for each position holding an image token
+    we pick the corresponding (row-ordered) image embedding — then select
+    with ``jnp.where``. Requires, like the reference, that each sample's
+    image-token count equals its valid image-embedding count.
+    """
+    b, t = input_ids.shape
+    n_img = pixel_values.shape[1]
+    t2 = cfg.num_image_tokens
+
+    flat_pixels = pixel_values.reshape(b * n_img, *pixel_values.shape[2:])
+    img_embeds = encode_images(params, cfg, flat_pixels)
+    img_embeds = img_embeds.reshape(b, n_img * t2, -1)           # [B, n*T2, D]
+    emb_mask = images_emb_mask.reshape(b, n_img * t2)            # [B, n*T2]
+
+    text_embeds = embed_text(params, jnp.maximum(input_ids, 0))
+
+    # Rank the valid image embeds per batch row (stable order), and rank the
+    # image slots in the sequence; slot k takes valid image embed k.
+    emb_rank = jnp.cumsum(emb_mask.astype(jnp.int32), axis=-1) - 1   # [B, n*T2]
+    seq_rank = jnp.cumsum(images_seq_mask.astype(jnp.int32), axis=-1) - 1  # [B, T]
+
+    # scatter valid embeds into a dense [B, max_slots, D] table
+    max_slots = n_img * t2
+    dense = jnp.zeros((b, max_slots, img_embeds.shape[-1]), img_embeds.dtype)
+    scatter_idx = jnp.where(emb_mask, emb_rank, max_slots - 1)
+    dense = jax.vmap(lambda d, idx, src, m: d.at[idx].add(
+        src * m[:, None].astype(src.dtype)
+    ))(dense, scatter_idx, img_embeds, emb_mask)
+
+    gathered = jax.vmap(lambda d, idx: d[idx])(dense, jnp.maximum(seq_rank, 0))
+    return jnp.where(images_seq_mask[..., None], gathered, text_embeds)
+
+
+def prepare_gen_img_embeds(params: Params, cfg: JanusConfig,
+                           image_ids: jax.Array) -> jax.Array:
+    """Generation path: codebook ids → LM-space embeddings
+    (``gen_aligner(gen_embed(ids))``, modeling_vlm.py:263-264)."""
+    raw = jnp.take(params["gen_embed"], image_ids, axis=0)
+    return projector.mlp_projector(params["gen_aligner"], raw)
+
+
+def gen_logits(params: Params, hidden: jax.Array) -> jax.Array:
+    """LM hidden states → image-token logits (the ``gen_head``)."""
+    return projector.vision_head(params["gen_head"], hidden)
+
+
+def lm_logits(params: Params, hidden: jax.Array) -> jax.Array:
+    return llama.logits_from_hidden(params["language_model"], hidden)
+
+
+def language_forward(params: Params, cfg: JanusConfig, *args, **kwargs):
+    return llama.forward(params["language_model"], cfg.language, *args, **kwargs)
+
+
+@dataclasses.dataclass
+class JanusModel:
+    """Config + params bundle with convenience methods (non-jitted shell;
+    engines jit the functional entry points directly)."""
+
+    cfg: JanusConfig
+    params: Params
+
+    @classmethod
+    def init(cls, cfg: JanusConfig, seed: int = 0) -> "JanusModel":
+        return cls(cfg, init_params(cfg, jax.random.PRNGKey(seed)))
+
+    @classmethod
+    def from_pretrained(cls, model_path: str,
+                        cfg: Optional[JanusConfig] = None) -> "JanusModel":
+        from ospo_tpu.models import weights
+
+        return weights.load_janus(model_path, cfg)

@@ -1,0 +1,67 @@
+"""MLP projectors and the image-token logit head.
+
+Functional equivalents of ``janus/models/projector.py:27-86`` (``mlp_gelu``
+projector — the type Janus-Pro uses for both ``aligner`` and
+``gen_aligner``) and ``vision_head`` (``modeling_vlm.py:36-51``:
+Linear → GELU → Linear over n_embed → image_token_embed → image_token_size).
+GELU is exact (erf), matching torch ``nn.GELU`` defaults.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def _linear_init(key, cin, cout, dtype):
+    std = 0.02
+    return {
+        "w": (jax.random.normal(key, (cin, cout), jnp.float32) * std).astype(dtype),
+        "b": jnp.zeros((cout,), dtype),
+    }
+
+
+def _linear(p: Params, x: jax.Array) -> jax.Array:
+    return jnp.einsum("...d,df->...f", x, p["w"]) + p["b"]
+
+
+def _gelu(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+
+
+def init_mlp_projector(key, input_dim: int, n_embed: int, depth: int = 2,
+                       dtype=jnp.bfloat16) -> Params:
+    """``mlp_gelu`` projector: Linear(input→n_embed) then (depth−1)×
+    [GELU, Linear(n_embed→n_embed)]."""
+    keys = jax.random.split(key, depth)
+    layers: List[Params] = [_linear_init(keys[0], input_dim, n_embed, dtype)]
+    for i in range(1, depth):
+        layers.append(_linear_init(keys[i], n_embed, n_embed, dtype))
+    return {"layers": layers}
+
+
+def mlp_projector(params: Params, x: jax.Array) -> jax.Array:
+    layers = params["layers"]
+    x = _linear(layers[0], x)
+    for lp in layers[1:]:
+        x = _linear(lp, _gelu(x))
+    return x
+
+
+def init_vision_head(key, n_embed: int, image_token_embed: int,
+                     image_token_size: int, dtype=jnp.bfloat16) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "proj": _linear_init(k1, n_embed, image_token_embed, dtype),
+        "head": _linear_init(k2, image_token_embed, image_token_size, dtype),
+    }
+
+
+def vision_head(params: Params, x: jax.Array) -> jax.Array:
+    """Hidden states → image-token logits (fp32)."""
+    x = _gelu(_linear(params["proj"], x))
+    return _linear(params["head"], x).astype(jnp.float32)

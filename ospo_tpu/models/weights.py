@@ -1,0 +1,355 @@
+"""HF Janus-Pro checkpoint → JAX param trees.
+
+Maps the torch ``MultiModalityCausalLM`` state dict (safetensors shards) to
+this framework's functional pytrees:
+
+- per-layer Llama matrices are transposed ([out,in] → [in,out]) and stacked
+  along the layer axis for the ``lax.scan`` forward;
+- conv kernels go OIHW → HWIO for the NHWC conv stacks;
+- timm-ViT ``blocks.{i}`` params stack along layers; the unused latent
+  attention-pool head (``attn_pool.*``) is dropped (Janus runs the tower
+  with ignore_head=True, janus/models/clip_encoder.py + siglip_vit.py:667).
+
+Weight-mapping correctness for the language model is verified against
+transformers in ``tests/test_llama_parity.py`` (same mapping, exported
+here); the remaining mappings are verified structurally in
+``tests/test_weights.py`` via shape-faithful fake checkpoints.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Dict, Mapping, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ospo_tpu.models import janus as janus_lib
+from ospo_tpu.models import llama as llama_lib
+from ospo_tpu.models import vit as vit_lib
+from ospo_tpu.models import vqgan as vqgan_lib
+
+Array = Any
+
+
+# ---------------------------------------------------------------------------
+# state-dict loading
+# ---------------------------------------------------------------------------
+
+
+def load_state_dict(model_path: str) -> Dict[str, np.ndarray]:
+    """Read all ``*.safetensors`` shards (or a torch ``*.bin``) as numpy."""
+    shards = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
+    sd: Dict[str, np.ndarray] = {}
+    if shards:
+        from safetensors import safe_open
+
+        for shard in shards:
+            with safe_open(shard, framework="np") as f:
+                for k in f.keys():
+                    sd[k] = f.get_tensor(k)
+        return sd
+    bins = sorted(glob.glob(os.path.join(model_path, "pytorch_model*.bin")))
+    if bins:
+        import torch
+
+        for b in bins:
+            for k, v in torch.load(b, map_location="cpu", weights_only=True).items():
+                sd[k] = v.float().numpy()
+        return sd
+    raise FileNotFoundError(f"no safetensors/bin weights under {model_path}")
+
+
+def _cast(x: np.ndarray, dtype) -> Array:
+    return jnp.asarray(x.astype(np.float32)).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# language model
+# ---------------------------------------------------------------------------
+
+
+def port_llama(sd: Mapping[str, np.ndarray], cfg: llama_lib.LlamaConfig,
+               prefix: str = "language_model.") -> Dict:
+    n = cfg.num_layers
+    dt = cfg.dtype
+
+    def stack(fmt: str, transpose: bool = True) -> Array:
+        mats = [np.asarray(sd[prefix + fmt.format(i)], np.float32) for i in range(n)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return jnp.asarray(np.stack(mats)).astype(dt)
+
+    return {
+        "embed": _cast(np.asarray(sd[prefix + "model.embed_tokens.weight"]), dt),
+        "layers": {
+            "attn_norm": stack("model.layers.{}.input_layernorm.weight", False),
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+            "mlp_norm": stack("model.layers.{}.post_attention_layernorm.weight", False),
+            "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
+            "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
+            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
+        },
+        "final_norm": _cast(np.asarray(sd[prefix + "model.norm.weight"]), dt),
+        "lm_head": _cast(np.asarray(sd[prefix + "lm_head.weight"]).T, dt),
+    }
+
+
+# ---------------------------------------------------------------------------
+# vision transformer (timm naming under vision_model.vision_tower.)
+# ---------------------------------------------------------------------------
+
+
+def port_vit(sd: Mapping[str, np.ndarray], cfg: vit_lib.ViTConfig,
+             prefix: str = "vision_model.vision_tower.") -> Dict:
+    n = cfg.depth
+    dt = cfg.dtype
+
+    def stack(fmt: str, transpose: bool = True) -> Array:
+        mats = [np.asarray(sd[prefix + fmt.format(i)], np.float32) for i in range(n)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return jnp.asarray(np.stack(mats)).astype(dt)
+
+    patch_w = np.asarray(sd[prefix + "patch_embed.proj.weight"], np.float32)
+    return {
+        "patch_embed": {
+            "w": _cast(patch_w.transpose(2, 3, 1, 0), dt),  # OIHW → HWIO
+            "b": _cast(np.asarray(sd[prefix + "patch_embed.proj.bias"]), dt),
+        },
+        "pos_embed": _cast(np.asarray(sd[prefix + "pos_embed"]), dt),
+        "blocks": {
+            "norm1_scale": stack("blocks.{}.norm1.weight", False),
+            "norm1_bias": stack("blocks.{}.norm1.bias", False),
+            "wqkv": stack("blocks.{}.attn.qkv.weight"),
+            "bqkv": stack("blocks.{}.attn.qkv.bias", False),
+            "wo": stack("blocks.{}.attn.proj.weight"),
+            "bo": stack("blocks.{}.attn.proj.bias", False),
+            "norm2_scale": stack("blocks.{}.norm2.weight", False),
+            "norm2_bias": stack("blocks.{}.norm2.bias", False),
+            "w1": stack("blocks.{}.mlp.fc1.weight"),
+            "b1": stack("blocks.{}.mlp.fc1.bias", False),
+            "w2": stack("blocks.{}.mlp.fc2.weight"),
+            "b2": stack("blocks.{}.mlp.fc2.bias", False),
+        },
+        "final_norm": {
+            "scale": _cast(np.asarray(sd[prefix + "norm.weight"]), dt),
+            "bias": _cast(np.asarray(sd[prefix + "norm.bias"]), dt),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# VQ-GAN (vq_model.py structure under gen_vision_model.)
+# ---------------------------------------------------------------------------
+
+
+def _conv(sd, name: str) -> Dict:
+    w = np.asarray(sd[name + ".weight"], np.float32)
+    return {
+        "w": jnp.asarray(w.transpose(2, 3, 1, 0)),  # OIHW → HWIO
+        "b": jnp.asarray(np.asarray(sd[name + ".bias"], np.float32)),
+    }
+
+
+def _gn(sd, name: str) -> Dict:
+    return {
+        "scale": jnp.asarray(np.asarray(sd[name + ".weight"], np.float32)),
+        "bias": jnp.asarray(np.asarray(sd[name + ".bias"], np.float32)),
+    }
+
+
+def _res(sd, name: str, has_shortcut: bool) -> Dict:
+    p = {
+        "norm1": _gn(sd, name + ".norm1"),
+        "conv1": _conv(sd, name + ".conv1"),
+        "norm2": _gn(sd, name + ".norm2"),
+        "conv2": _conv(sd, name + ".conv2"),
+    }
+    if has_shortcut:
+        p["nin_shortcut"] = _conv(sd, name + ".nin_shortcut")
+    return p
+
+
+def _attn(sd, name: str) -> Dict:
+    return {
+        "norm": _gn(sd, name + ".norm"),
+        "q": _conv(sd, name + ".q"),
+        "k": _conv(sd, name + ".k"),
+        "v": _conv(sd, name + ".v"),
+        "proj_out": _conv(sd, name + ".proj_out"),
+    }
+
+
+def port_vqgan(sd: Mapping[str, np.ndarray], cfg: vqgan_lib.VQConfig,
+               prefix: str = "gen_vision_model.") -> Dict:
+    def has(k: str) -> bool:
+        return prefix + k + ".weight" in sd
+
+    n_levels = len(cfg.ch_mult)
+
+    # encoder
+    enc: Dict = {"conv_in": _conv(sd, prefix + "encoder.conv_in")}
+    levels = []
+    for i in range(n_levels):
+        base = f"{prefix}encoder.conv_blocks.{i}"
+        level: Dict = {"res": [], "attn": []}
+        for j in range(cfg.num_res_blocks):
+            level["res"].append(
+                _res(sd, f"{base}.res.{j}", has(f"encoder.conv_blocks.{i}.res.{j}.nin_shortcut"))
+            )
+            if has(f"encoder.conv_blocks.{i}.attn.{j}.q"):
+                level["attn"].append(_attn(sd, f"{base}.attn.{j}"))
+        if has(f"encoder.conv_blocks.{i}.downsample.conv"):
+            level["downsample"] = _conv(sd, f"{base}.downsample.conv")
+        levels.append(level)
+    enc["levels"] = levels
+    enc["mid"] = [
+        _res(sd, prefix + "encoder.mid.0", has("encoder.mid.0.nin_shortcut")),
+        _attn(sd, prefix + "encoder.mid.1"),
+        _res(sd, prefix + "encoder.mid.2", has("encoder.mid.2.nin_shortcut")),
+    ]
+    enc["norm_out"] = _gn(sd, prefix + "encoder.norm_out")
+    enc["conv_out"] = _conv(sd, prefix + "encoder.conv_out")
+
+    # decoder
+    dec: Dict = {"conv_in": _conv(sd, prefix + "decoder.conv_in")}
+    dec["mid"] = [
+        _res(sd, prefix + "decoder.mid.0", has("decoder.mid.0.nin_shortcut")),
+        _attn(sd, prefix + "decoder.mid.1"),
+        _res(sd, prefix + "decoder.mid.2", has("decoder.mid.2.nin_shortcut")),
+    ]
+    dlevels = []
+    for i in range(n_levels):
+        base = f"{prefix}decoder.conv_blocks.{i}"
+        level = {"res": [], "attn": []}
+        for j in range(cfg.num_res_blocks + 1):
+            level["res"].append(
+                _res(sd, f"{base}.res.{j}", has(f"decoder.conv_blocks.{i}.res.{j}.nin_shortcut"))
+            )
+            if has(f"decoder.conv_blocks.{i}.attn.{j}.q"):
+                level["attn"].append(_attn(sd, f"{base}.attn.{j}"))
+        if has(f"decoder.conv_blocks.{i}.upsample.conv"):
+            level["upsample"] = _conv(sd, f"{base}.upsample.conv")
+        dlevels.append(level)
+    dec["levels"] = dlevels
+    dec["norm_out"] = _gn(sd, prefix + "decoder.norm_out")
+    dec["conv_out"] = _conv(sd, prefix + "decoder.conv_out")
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "codebook": jnp.asarray(
+            np.asarray(sd[prefix + "quantize.embedding.weight"], np.float32)
+        ),
+        "quant_conv": _conv(sd, prefix + "quant_conv"),
+        "post_quant_conv": _conv(sd, prefix + "post_quant_conv"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# projectors / heads
+# ---------------------------------------------------------------------------
+
+
+def port_mlp_projector(sd: Mapping[str, np.ndarray], prefix: str, depth: int,
+                       dtype) -> Dict:
+    """``mlp_gelu`` nn.Sequential indices: Linear=0 then Linear at 2,4,...
+    (GELUs in between hold no params)."""
+    layers = []
+    for d in range(depth):
+        idx = 0 if d == 0 else 2 * d
+        layers.append({
+            "w": _cast(np.asarray(sd[f"{prefix}layers.{idx}.weight"]).T, dtype),
+            "b": _cast(np.asarray(sd[f"{prefix}layers.{idx}.bias"]), dtype),
+        })
+    return {"layers": layers}
+
+
+def port_vision_head(sd: Mapping[str, np.ndarray], prefix: str, dtype) -> Dict:
+    return {
+        "proj": {
+            "w": _cast(np.asarray(sd[prefix + "output_mlp_projector.weight"]).T, dtype),
+            "b": _cast(np.asarray(sd[prefix + "output_mlp_projector.bias"]), dtype),
+        },
+        "head": {
+            "w": _cast(np.asarray(sd[prefix + "vision_head.weight"]).T, dtype),
+            "b": _cast(np.asarray(sd[prefix + "vision_head.bias"]), dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# full assembly
+# ---------------------------------------------------------------------------
+
+
+def config_from_checkpoint(model_path: str) -> janus_lib.JanusConfig:
+    """Build a JanusConfig from the HF ``config.json``."""
+    with open(os.path.join(model_path, "config.json")) as f:
+        hf = json.load(f)
+    lc = hf.get("language_config", {})
+    lang = llama_lib.LlamaConfig(
+        vocab_size=lc.get("vocab_size", 102400),
+        hidden_size=lc.get("hidden_size", 4096),
+        intermediate_size=lc.get("intermediate_size", 11008),
+        num_layers=lc.get("num_hidden_layers", 30),
+        num_heads=lc.get("num_attention_heads", 32),
+        num_kv_heads=lc.get("num_key_value_heads"),
+        rope_theta=lc.get("rope_theta", 10000.0),
+        rms_norm_eps=lc.get("rms_norm_eps", 1e-6),
+        max_seq_len=lc.get("max_position_embeddings", 4096),
+    )
+    vp = hf.get("vision_config", {}).get("params", {})
+    model_name = vp.get("model_name", "siglip_large_patch16_384")
+    presets = {
+        "siglip_large_patch16_384": vit_lib.SIGLIP_LARGE_384,
+        "siglip_so400m_patch14_384": vit_lib.SIGLIP_SO400M_384,
+    }
+    base_vit = presets.get(model_name, vit_lib.SIGLIP_LARGE_384)
+    import dataclasses as dc
+
+    vision = dc.replace(
+        base_vit,
+        image_size=vp.get("image_size", 384),
+        select_layer=vp.get("select_layer", base_vit.select_layer),
+    )
+    gvp = hf.get("gen_vision_config", {}).get("params", {})
+    ap = hf.get("aligner_config", {}).get("params", {})
+    gap = hf.get("gen_aligner_config", {}).get("params", {})
+    return janus_lib.JanusConfig(
+        language=lang,
+        vision=vision,
+        vq=vqgan_lib.VQ_16,
+        gen_embed_dim=gvp.get("n_embed", 8),
+        image_token_size=gvp.get("image_token_size", 16384),
+        aligner_depth=ap.get("depth", 2),
+        gen_aligner_depth=gap.get("depth", 2),
+    )
+
+
+def port_janus(sd: Mapping[str, np.ndarray], cfg: janus_lib.JanusConfig) -> Dict:
+    dt = cfg.dtype
+    return {
+        "language_model": port_llama(sd, cfg.language),
+        "vision_model": port_vit(sd, cfg.vision),
+        "gen_vision_model": port_vqgan(sd, cfg.vq),
+        "aligner": port_mlp_projector(sd, "aligner.", cfg.aligner_depth, dt),
+        "gen_aligner": port_mlp_projector(sd, "gen_aligner.", cfg.gen_aligner_depth, dt),
+        "gen_head": port_vision_head(sd, "gen_head.", dt),
+        "gen_embed": _cast(np.asarray(sd["gen_embed.weight"]), dt),
+    }
+
+
+def load_janus(model_path: str,
+               cfg: Optional[janus_lib.JanusConfig] = None) -> "janus_lib.JanusModel":
+    if cfg is None:
+        cfg = config_from_checkpoint(model_path)
+    sd = load_state_dict(model_path)
+    params = port_janus(sd, cfg)
+    return janus_lib.JanusModel(cfg, params)
