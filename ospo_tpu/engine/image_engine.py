@@ -1,0 +1,175 @@
+"""CFG image-token decode engine — the throughput-critical path (step 3).
+
+TPU-first redesign of the reference's 576-iteration python loop
+(``ospo/wrapper/image_generation.py:110-191``):
+
+- the cond/uncond pair is one fused batch of 2B rows ([0:B] cond, [B:2B]
+  uncond — stacked halves instead of the reference's interleaved rows; the
+  math is identical, slicing is cheaper);
+- prompt prefill runs once through the flash-attention path, then all 576
+  image tokens are generated inside a single ``lax.scan`` holding the KV
+  cache — zero host↔device sync until the final token block;
+- CFG combine ``uncond + w·(cond − uncond)``, temperature softmax and
+  categorical sampling all run inside the scan in fp32;
+- prompt lengths are bucketed (multiples of 64) so each (2B, T_bucket)
+  combination compiles exactly once;
+- the VQ detokeniser (``decode_code``) is a second jitted call.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ospo_tpu.constants import IMAGE_TOKEN_NUM_PER_IMAGE, IMG_SIZE, PATCH_SIZE
+from ospo_tpu.models import janus as janus_lib
+from ospo_tpu.models import llama, vqgan
+from ospo_tpu.processing import Processor, t2i_prompt
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+class ImageGenEngine:
+    def __init__(
+        self,
+        model: janus_lib.JanusModel,
+        processor: Processor,
+        cfg_weight: float = 5.0,
+        temperature: float = 1.0,
+        image_token_num: int = IMAGE_TOKEN_NUM_PER_IMAGE,
+        img_size: int = IMG_SIZE,
+        patch_size: int = PATCH_SIZE,
+    ):
+        self.model = model
+        self.processor = processor
+        self.cfg_weight = float(cfg_weight)
+        self.temperature = float(temperature)
+        self.image_token_num = image_token_num
+        self.img_size = img_size
+        self.patch_size = patch_size
+        self._decode_fn = jax.jit(self._decode_tokens)
+
+    # ------------------------------------------------------------------
+    # prompt construction (host)
+    # ------------------------------------------------------------------
+    def build_cfg_batch(self, prompts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Tokenise prompts and build the fused [2B, T] cond/uncond batch.
+
+        The uncond rows mask every prompt token to ``<pad>`` except the
+        first (BOS) and last (``<begin_of_image>``) — replicating
+        ospo/wrapper/image_generation.py:135-141, including the quirk that
+        the attention mask still covers the pad-masked positions.
+        """
+        tok = self.processor.tokenizer
+        ids_list = [np.asarray(tok.encode(p), np.int32) for p in prompts]
+        t_max = _bucket(max(len(x) for x in ids_list))
+        b = len(prompts)
+        tokens = np.full((2 * b, t_max), self.processor.pad_id, np.int32)
+        mask = np.zeros((2 * b, t_max), np.int32)
+        for i, ids in enumerate(ids_list):
+            start = t_max - len(ids)
+            tokens[i, start:] = ids
+            tokens[b + i, start:] = ids
+            tokens[b + i, start + 1 : -1] = self.processor.pad_id  # uncond
+            mask[i, start:] = 1
+            mask[b + i, start:] = 1
+        return tokens, mask
+
+    # ------------------------------------------------------------------
+    # jitted core
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _generate_tokens(self, params, tokens, attn_mask, rng,
+                         cfg_weight, temperature):
+        cfg = self.model.cfg
+        two_b, t_prompt = tokens.shape
+        b = two_b // 2
+        n_img = self.image_token_num
+        s_max = t_prompt + n_img
+
+        inputs_embeds = janus_lib.embed_text(params, tokens)
+        positions = llama.positions_from_mask(attn_mask)
+        kv = llama.init_kv_cache(cfg.language, two_b, s_max)
+
+        # ---- prefill (flash attention over the prompt block) ----
+        hidden, kv = janus_lib.language_forward(
+            params, cfg, inputs_embeds, attn_mask, positions,
+            kv_cache=kv, self_attn=True,
+        )
+        prompt_len = jnp.sum(attn_mask, axis=-1)  # [2B] valid prompt tokens
+
+        # window mask over the whole cache: prompt part + all-ones image part
+        # (row-causality inside the scan excludes not-yet-written rows)
+        window_mask = jnp.concatenate(
+            [attn_mask, jnp.ones((two_b, n_img), attn_mask.dtype)], axis=-1
+        )
+
+        def sample_step(hidden_last, kv, step, key):
+            logits = janus_lib.gen_logits(params, hidden_last[:, None, :])[:, 0]
+            cond, uncond = logits[:b], logits[b:]
+            fused = uncond + cfg_weight * (cond - uncond)
+            next_tok = jax.random.categorical(
+                key, fused / jnp.maximum(temperature, 1e-6)
+            )                                                  # [B]
+            both = jnp.concatenate([next_tok, next_tok])       # [2B]
+            embeds = janus_lib.prepare_gen_img_embeds(params, cfg, both[:, None])
+            pos = (prompt_len + step)[:, None]                  # [2B, 1]
+            return next_tok, both, embeds, pos
+
+        keys = jax.random.split(rng, n_img)
+
+        # first token comes from the prefill's last hidden state
+        tok0, _, embeds, pos = sample_step(hidden[:, -1], kv, 0, keys[0])
+
+        def body(carry, key_step):
+            kv, embeds, pos = carry
+            key, step = key_step
+            hidden, kv = janus_lib.language_forward(
+                params, cfg, embeds, window_mask, pos, kv_cache=kv,
+            )
+            next_tok, _, embeds, pos = sample_step(hidden[:, -1], kv, step, key)
+            return (kv, embeds, pos), next_tok
+
+        steps = jnp.arange(1, n_img, dtype=jnp.int32)
+        (_, _, _), rest = jax.lax.scan(body, (kv, embeds, pos), (keys[1:], steps))
+        # rest: [n_img-1, B] → [B, n_img]
+        return jnp.concatenate([tok0[:, None], rest.T], axis=1)
+
+    def _decode_tokens(self, params, gen_tokens):
+        latent = self.img_size // self.patch_size
+        return vqgan.decode_code(
+            params["gen_vision_model"], self.model.cfg.vq, gen_tokens,
+            latent_hw=(latent, latent),
+        )
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def generate_tokens(self, prompts: Sequence[str], seed: int = 0) -> np.ndarray:
+        tokens, mask = self.build_cfg_batch(prompts)
+        out = self._generate_tokens(
+            self.model.params, jnp.asarray(tokens), jnp.asarray(mask),
+            jax.random.PRNGKey(seed),
+            jnp.float32(self.cfg_weight), jnp.float32(self.temperature),
+        )
+        return np.asarray(out)
+
+    def generate_images(self, prompts: Sequence[str], seed: int = 0) -> np.ndarray:
+        """prompts (already T2I-formatted) → uint8 images [B, H, W, 3]."""
+        gen_tokens = self.generate_tokens(prompts, seed=seed)
+        pixels = self._decode_fn(self.model.params, jnp.asarray(gen_tokens))
+        return self.processor.image_processor.denormalize_to_uint8(
+            np.asarray(pixels, np.float32)
+        )
+
+    def generate_from_raw_prompts(self, raw_prompts: Sequence[str],
+                                  seed: int = 0) -> np.ndarray:
+        return self.generate_images(
+            [t2i_prompt(self.processor, p) for p in raw_prompts], seed=seed
+        )

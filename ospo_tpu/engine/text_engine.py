@@ -1,0 +1,159 @@
+"""Batched text generation engine (steps 1, 2, 4a).
+
+Replaces HF ``language_model.generate`` (used at
+``ospo/wrapper/text_generation.py:63-81``, ``vqa.py:46-58``) with a jitted
+prefill + ``lax.while_loop`` decode over a preallocated KV cache:
+
+- left-padded prompt batches, bucketed to multiples of 64 so each
+  (B, T_bucket, max_new_tokens) signature compiles once;
+- temperature / top-p / greedy sampling inside the loop (fp32 logits);
+- per-row EOS tracking with early exit once every row has finished —
+  the while_loop stops instead of burning the full token budget.
+
+Returns only the newly generated ids (HF semantics for
+``inputs_embeds``-driven generate).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ospo_tpu.models import janus as janus_lib
+from ospo_tpu.models import llama
+from ospo_tpu.ops.sampling import sample_token
+from ospo_tpu.processing import Processor
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+class TextGenEngine:
+    def __init__(
+        self,
+        model: janus_lib.JanusModel,
+        processor: Processor,
+        max_new_tokens: int = 256,
+        temperature: float = 1.0,
+        top_p: Optional[float] = None,
+        do_sample: bool = True,
+    ):
+        self.model = model
+        self.processor = processor
+        self.max_new_tokens = int(max_new_tokens)
+        self.temperature = float(temperature)
+        self.top_p = top_p
+        self.do_sample = bool(do_sample)
+
+    @classmethod
+    def from_generation_config(cls, model, processor, gen_cfg) -> "TextGenEngine":
+        """Build from a step-config ``generation_config`` block (same keys
+        as the HF kwargs the reference passes through)."""
+        gen_cfg = gen_cfg or {}
+        return cls(
+            model,
+            processor,
+            max_new_tokens=gen_cfg.get("max_new_tokens", 256),
+            temperature=gen_cfg.get("temperature", 1.0),
+            top_p=gen_cfg.get("top_p"),
+            do_sample=gen_cfg.get("do_sample", True),
+        )
+
+    # ------------------------------------------------------------------
+    @functools.partial(
+        jax.jit, static_argnums=(0,),
+        static_argnames=("max_new", "do_sample", "top_p"),
+    )
+    def _generate(self, params, tokens, attn_mask, rng, temperature,
+                  *, max_new: int, do_sample: bool, top_p: Optional[float]):
+        cfg = self.model.cfg
+        b, t_prompt = tokens.shape
+        s_max = t_prompt + max_new
+        eos = self.processor.tokenizer.eos_id
+
+        inputs_embeds = janus_lib.embed_text(params, tokens)
+        positions = llama.positions_from_mask(attn_mask)
+        kv = llama.init_kv_cache(cfg.language, b, s_max)
+        hidden, kv = janus_lib.language_forward(
+            params, cfg, inputs_embeds, attn_mask, positions,
+            kv_cache=kv, self_attn=True,
+        )
+        prompt_len = jnp.sum(attn_mask, axis=-1)
+        window_mask = jnp.concatenate(
+            [attn_mask, jnp.ones((b, max_new), attn_mask.dtype)], axis=-1
+        )
+
+        def sample(hidden_last, key, done):
+            logits = janus_lib.lm_logits(params, hidden_last[:, None, :])[:, 0]
+            tok = sample_token(key, logits, temperature=temperature,
+                               top_p=top_p, do_sample=do_sample)
+            return jnp.where(done, eos, tok)
+
+        keys = jax.random.split(rng, max_new)
+        out_buf = jnp.full((b, max_new), eos, jnp.int32)
+        done0 = jnp.zeros((b,), bool)
+
+        tok0 = sample(hidden[:, -1], keys[0], done0)
+        out_buf = out_buf.at[:, 0].set(tok0)
+        done = done0 | (tok0 == eos)
+
+        def cond_fn(state):
+            step, _, _, done, _ = state
+            return (step < max_new) & ~jnp.all(done)
+
+        def body_fn(state):
+            step, kv, prev_tok, done, out_buf = state
+            embeds = janus_lib.embed_text(params, prev_tok[:, None])
+            pos = (prompt_len + step - 1)[:, None]
+            hidden, kv = janus_lib.language_forward(
+                params, cfg, embeds, window_mask, pos, kv_cache=kv,
+            )
+            key = keys[step]
+            tok = sample(hidden[:, -1], key, done)
+            out_buf = jax.lax.dynamic_update_slice(out_buf, tok[:, None], (0, step))
+            done = done | (tok == eos)
+            return step + 1, kv, tok, done, out_buf
+
+        _, _, _, _, out_buf = jax.lax.while_loop(
+            cond_fn, body_fn, (jnp.int32(1), kv, tok0, done, out_buf)
+        )
+        return out_buf
+
+    # ------------------------------------------------------------------
+    def generate_ids(self, prompts: Sequence[str], seed: Optional[int] = None,
+                     rng: Optional[jax.Array] = None) -> np.ndarray:
+        """prompt strings → generated ids [B, max_new_tokens] (eos-filled)."""
+        input_ids, mask = self.processor.encode_batch_left_padded(prompts)
+        t_bucket = _bucket(input_ids.shape[1])
+        pad = t_bucket - input_ids.shape[1]
+        if pad:
+            input_ids = np.pad(input_ids, ((0, 0), (pad, 0)),
+                               constant_values=self.processor.pad_id)
+            mask = np.pad(mask, ((0, 0), (pad, 0)))
+        if rng is None:
+            rng = jax.random.PRNGKey(0 if seed is None else seed)
+        out = self._generate(
+            self.model.params, jnp.asarray(input_ids), jnp.asarray(mask), rng,
+            jnp.float32(self.temperature),
+            max_new=self.max_new_tokens, do_sample=self.do_sample,
+            top_p=self.top_p,
+        )
+        return np.asarray(out)
+
+    def generate(self, prompts: Sequence[str], seed: Optional[int] = None,
+                 rng: Optional[jax.Array] = None) -> List[str]:
+        """prompt strings → decoded generations (special tokens stripped)."""
+        ids = self.generate_ids(prompts, seed=seed, rng=rng)
+        tok = self.processor.tokenizer
+        out = []
+        for row in ids:
+            row = row.tolist()
+            if tok.eos_id in row:
+                row = row[: row.index(tok.eos_id)]
+            out.append(tok.decode(row, skip_special_tokens=True))
+        return out

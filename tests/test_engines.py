@@ -1,0 +1,110 @@
+"""Engine tests on the tiny Janus model: shapes, determinism, EOS stop,
+CFG math, processor roundtrips."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ospo_tpu.engine.image_engine import ImageGenEngine
+from ospo_tpu.engine.text_engine import TextGenEngine
+from ospo_tpu.image_processing import ImageProcessor
+from ospo_tpu.models import janus
+from ospo_tpu.processing import Processor, t2i_prompt
+from ospo_tpu.tokenizer import ByteTokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = janus.tiny_janus_config()
+    model = janus.JanusModel.init(cfg, seed=0)
+    tok = ByteTokenizer(vocab_size=cfg.language.vocab_size)
+    proc = Processor(tok, ImageProcessor(image_size=16), num_image_tokens=4)
+    return cfg, model, proc
+
+
+def test_text_engine_generates(setup):
+    cfg, model, proc = setup
+    eng = TextGenEngine(model, proc, max_new_tokens=8, temperature=1.0)
+    outs = eng.generate_ids(["hello world", "a"], seed=0)
+    assert outs.shape == (2, 8)
+    assert outs.dtype == np.int32
+    # determinism for a fixed seed
+    outs2 = eng.generate_ids(["hello world", "a"], seed=0)
+    np.testing.assert_array_equal(outs, outs2)
+    outs3 = eng.generate_ids(["hello world", "a"], seed=1)
+    assert not np.array_equal(outs, outs3)
+
+
+def test_text_engine_greedy_matches_nocache_argmax(setup):
+    """Greedy decode through the KV cache must equal step-by-step argmax
+    through full forwards (cache-consistency end to end)."""
+    cfg, model, proc = setup
+    eng = TextGenEngine(model, proc, max_new_tokens=4, do_sample=False)
+    prompts = ["abc", "hello"]
+    out = eng.generate_ids(prompts, seed=0)
+
+    from ospo_tpu.models import llama
+    for bi, p in enumerate(prompts):
+        ids = list(proc.tokenizer.encode(p))
+        gen = []
+        for _ in range(4):
+            x = janus.embed_text(model.params, jnp.asarray([ids]))
+            mask = jnp.ones((1, len(ids)), jnp.int32)
+            pos = llama.positions_from_mask(mask)
+            hidden, _ = janus.language_forward(model.params, cfg, x, mask, pos)
+            logits = janus.lm_logits(model.params, hidden[:, -1:, :])[:, 0]
+            nxt = int(jnp.argmax(logits, -1)[0])
+            gen.append(nxt)
+            if nxt == proc.tokenizer.eos_id:
+                break
+            ids.append(nxt)
+        expect = gen + [proc.tokenizer.eos_id] * (4 - len(gen))
+        np.testing.assert_array_equal(out[bi], expect)
+
+
+def test_image_engine_token_shapes(setup):
+    cfg, model, proc = setup
+    eng = ImageGenEngine(model, proc, cfg_weight=5.0, temperature=1.0,
+                         image_token_num=16, img_size=16, patch_size=4)
+    prompts = [t2i_prompt(proc, "A black umbrella"),
+               t2i_prompt(proc, "A red moon")]
+    toks = eng.generate_tokens(prompts, seed=0)
+    assert toks.shape == (2, 16)
+    assert toks.max() < cfg.image_token_size
+    # deterministic per seed
+    np.testing.assert_array_equal(toks, eng.generate_tokens(prompts, seed=0))
+    assert not np.array_equal(toks, eng.generate_tokens(prompts, seed=1))
+
+
+def test_image_engine_cfg_batch_masking(setup):
+    """Uncond rows must keep BOS + final token, pad-mask the middle, and
+    share the attention mask with cond rows (image_generation.py:135-141)."""
+    _, model, proc = setup
+    eng = ImageGenEngine(model, proc)
+    prompt = t2i_prompt(proc, "A cat")
+    tokens, mask = eng.build_cfg_batch([prompt])
+    ids = proc.tokenizer.encode(prompt)
+    t = tokens.shape[1]
+    start = t - len(ids)
+    np.testing.assert_array_equal(tokens[0, start:], ids)
+    assert tokens[1, start] == ids[0]            # BOS kept
+    assert tokens[1, t - 1] == ids[-1]           # <begin_of_image> kept
+    assert (tokens[1, start + 1:t - 1] == proc.pad_id).all()
+    np.testing.assert_array_equal(mask[0], mask[1])
+
+
+def test_processor_image_expansion(setup):
+    _, model, proc = setup
+    out = proc.process_one(
+        conversations=[
+            {"role": "<|User|>", "content": "<image_placeholder>\nWhat?"},
+            {"role": "<|Assistant|>", "content": ""},
+        ],
+        images=[],
+    )
+    ids = out.input_ids.tolist()
+    assert ids.count(proc.image_id) == proc.num_image_tokens
+    i0 = ids.index(proc.image_id)
+    assert ids[i0 - 1] == proc.image_start_id
+    assert ids[i0 + proc.num_image_tokens] == proc.image_end_id
