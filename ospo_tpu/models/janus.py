@@ -35,6 +35,7 @@ class JanusConfig:
     aligner_depth: int = 2
     gen_aligner_depth: int = 2
     image_token_size: int = 16384    # VQ codebook size = image vocab
+    gen_image_size: int = 384        # generated-image resolution (VQ side)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -45,6 +46,15 @@ class JanusConfig:
     def num_image_tokens(self) -> int:
         """Tokens per image on the understanding path (ViT patches)."""
         return self.vision.num_patches
+
+    @property
+    def vq_latent_side(self) -> int:
+        return self.gen_image_size // self.vq.downsample_factor
+
+    @property
+    def num_gen_tokens(self) -> int:
+        """Image tokens per generated image (576 for Janus-Pro @384)."""
+        return self.vq_latent_side ** 2
 
 
 JANUS_PRO_7B = JanusConfig()
@@ -65,6 +75,7 @@ def tiny_janus_config(vocab_size: int = 512, dtype=jnp.float32) -> JanusConfig:
         vq=vqgan.tiny_vq_config(),
         gen_embed_dim=8,
         image_token_size=64,
+        gen_image_size=16,  # 2× VQ downsample → 8×8 = 64 gen tokens
         dtype=dtype,
     )
 

@@ -1,0 +1,126 @@
+"""Pipeline dataset layer (host-side, pure Python/numpy).
+
+Equivalents of ``ospo/dataclass/``: JSON-record datasets with schema
+self-healing (default ``perturbed_method`` injection), index slicing, and
+the preference-training dataset that pairs T2I prompt tokens with
+chosen/rejected image tensors.  No torch DataLoader: pipeline runners batch
+lists directly and shard across hosts with ``io.shard_for_process``.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from ospo_tpu.io import read_json
+from ospo_tpu.processing import Processor, t2i_prompt
+
+# gen_dataset.py:14-24 — default perturbation methods per sub_category
+DEFAULT_PERTURBED_METHODS = {
+    "attribute1_color": ["replace", "replace", "replace"],
+    "attribute1_texture": ["replace", "replace", "replace"],
+    "attribute1_shape": ["replace", "replace", "replace"],
+    "layout2": ["replace", "replace", "replace"],
+    "non-spatial": ["replace", "drop", "replace"],
+    "complex": ["replace", "swap", "drop"],
+    "attribute2": ["replace", "swap", "drop"],
+    "layout1": ["replace", "swap", "drop"],
+    "layout3": ["replace", "swap", "drop"],
+}
+
+
+def load_base_dataset(fpath: str, s_idx: Optional[int] = None,
+                      e_idx: Optional[int] = None) -> List[dict]:
+    data = read_json(fpath)
+    if data and data[0].get("perturbed_method") is None:
+        for sample in data:
+            sub = sample["sub_category"]
+            if sub not in DEFAULT_PERTURBED_METHODS:
+                raise ValueError(f"Unknown sub_category: {sub}")
+            sample["perturbed_method"] = list(DEFAULT_PERTURBED_METHODS[sub])
+    return data[s_idx:e_idx]
+
+
+def batched(items: Sequence, batch_size: int):
+    for i in range(0, len(items), batch_size):
+        yield items[i : i + batch_size]
+
+
+class PreferenceDataset:
+    """train.json records → (item_id, text token ids, chosen/rejected pixel
+    tensors) — ``PreferenceDataset`` (ospo/dataclass/train_dataset.py:16-97).
+    Image→VQ-token encoding happens on-device in the train step."""
+
+    def __init__(
+        self,
+        seed: int,
+        data_path: str,
+        processor: Processor,
+        num_samples: Optional[int] = None,
+        sampling_rate: float = 1.0,
+    ):
+        self.processor = processor
+        self.dataset = read_json(data_path)
+        if num_samples is not None:
+            assert 0 < num_samples <= len(self.dataset)
+            rng = random.Random(seed)
+            idx = rng.sample(range(len(self.dataset)), num_samples)
+            self.dataset = [self.dataset[i] for i in idx]
+        elif sampling_rate != 1.0:
+            n = int(len(self.dataset) * sampling_rate)
+            assert n > 0, "Dataset size must be bigger than 1."
+            self.dataset = self.dataset[:n]
+        self.data_root: Optional[str] = None  # override for relocated images
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def resolve_path(self, path: str) -> str:
+        """train.json may carry absolute paths from another machine; allow
+        re-rooting at ``self.data_root`` by the step3 layout suffix."""
+        if os.path.exists(path) or self.data_root is None:
+            return path
+        parts = path.replace("\\", "/").split("/")
+        for anchor in ("base", "negative"):
+            if anchor in parts:
+                i = parts.index(anchor)
+                return os.path.join(self.data_root, *parts[i:])
+        return path
+
+    def get_text_tokens(self, prompt: str) -> np.ndarray:
+        full = t2i_prompt(self.processor, prompt)
+        return np.asarray(self.processor.tokenizer.encode(full), np.int32)
+
+    def get_image(self, path: str) -> np.ndarray:
+        with Image.open(self.resolve_path(path)) as img:
+            return self.processor.image_processor.process_one(img)
+
+    def __getitem__(self, idx: int) -> Dict:
+        ex = self.dataset[idx]
+        for key in ("prompt", "chosen", "rejected"):
+            if key not in ex:
+                raise ValueError(
+                    f"Could not format example for SimPO: missing '{key}' "
+                    f"(has {list(ex.keys())})"
+                )
+        return {
+            "item_id": ex["item_id"],
+            "text_tokens": self.get_text_tokens(ex["prompt"]),
+            "chosen_pixels": self.get_image(ex["chosen"]),
+            "rejected_pixels": self.get_image(ex["rejected"]),
+        }
+
+    def iter_batches(self, batch_size: int, shuffle: bool = True,
+                     seed: int = 0, drop_last: bool = False):
+        order = list(range(len(self.dataset)))
+        if shuffle:
+            random.Random(seed).shuffle(order)
+        for i in range(0, len(order), batch_size):
+            chunk = order[i : i + batch_size]
+            if drop_last and len(chunk) < batch_size:
+                return
+            yield [self[j] for j in chunk]

@@ -1,0 +1,87 @@
+"""Inference CLI — T2I generation from a (possibly LoRA-trained) checkpoint
+on arbitrary prompt lists.
+
+Equivalent of ``ospo/inference.py``: reads a prompt list JSON, generates
+one image per (prompt, seed) into ``{save_path}/{prompt}_{seed:02d}.png``,
+captures failed samples into ``error_sample.json``, and prints elapsed
+minutes.  Config composes Hydra-style groups (model/peft/trainer/data) via
+``compose_config``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+import traceback
+from typing import List
+
+from PIL import Image
+
+from ospo_tpu.config import Config, build_config, compose_config
+from ospo_tpu.engine.image_engine import ImageGenEngine
+from ospo_tpu.io import read_json, save_json, shard_for_process
+from ospo_tpu.pipeline.datasets import batched
+from ospo_tpu.pipeline.model_factory import get_model
+
+
+def generate_all(config, engine: ImageGenEngine, prompts: List[str]) -> None:
+    os.makedirs(config.save_path, exist_ok=True)
+    seeds = config.get("seed") or [0]
+    if isinstance(seeds, int):
+        seeds = [seeds]
+    error_samples = []
+    batch_size = int(config.get("batch_size") or 4)
+    for seed in seeds:
+        for batch in batched(prompts, batch_size):
+            paths = []
+            todo = []
+            for p in batch:
+                fname = f"{p[:180]}_{seed:02d}.png".replace("/", "_")
+                path = os.path.join(config.save_path, fname)
+                if os.path.exists(path):
+                    continue
+                todo.append(p)
+                paths.append(path)
+            if not todo:
+                continue
+            try:
+                images = engine.generate_from_raw_prompts(todo, seed=seed)
+                for img, path in zip(images, paths):
+                    Image.fromarray(img).save(path)
+            except Exception as e:
+                print(f"Error generating batch: {e}")
+                traceback.print_exc()
+                error_samples.extend(todo)
+    if error_samples:
+        save_json(config.save_path, "error_sample", error_samples)
+
+
+def main(config) -> None:
+    start = time.time()
+    model, tokenizer, processor = get_model(config)
+    gen_cfg = config.get("generation_config") or {}
+    engine = ImageGenEngine(
+        model, processor,
+        cfg_weight=float(gen_cfg.get("cfg_weight", 5.0)),
+        temperature=float(gen_cfg.get("temperature", 1.0)),
+        image_token_num=model.cfg.num_gen_tokens,
+        img_size=model.cfg.gen_image_size,
+        patch_size=model.cfg.vq.downsample_factor,
+    )
+    prompts = shard_for_process(read_json(config.data_path))
+    generate_all(config, engine, prompts)
+    print(f"Elapsed: {(time.time() - start) / 60:.2f} minutes")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_path", type=str, default=None)
+    parser.add_argument("--config_dir", type=str, default="configs")
+    parser.add_argument("--config_name", type=str, default="inference")
+    args, _ = parser.parse_known_args()
+    if args.cfg_path:
+        cfg = build_config(cfg_path=args.cfg_path)
+    else:
+        cfg = compose_config(args.config_dir, args.config_name)
+    main(cfg)

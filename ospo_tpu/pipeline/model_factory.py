@@ -1,0 +1,88 @@
+"""Model/tokenizer/processor factory for pipeline steps.
+
+Equivalent of ``get_model`` (``ospo/utils/model.py:13-71``): resolve the
+model from config and return (model, tokenizer, processor).  Resolution
+order:
+
+1. ``config.model_path`` contains a Janus-Pro HF checkpoint → load real
+   weights + tokenizer (+ optional sharding over the current mesh);
+2. otherwise → random-init the requested preset (``config.model_preset``:
+   ``tiny`` (default, CI/tests), ``1b``, ``7b``) with the byte tokenizer.
+
+A ``ckpt_path`` pointing at a LoRA checkpoint is merged into the base
+weights before generation steps (round-2 self-improvement), mirroring
+``get_peft_model → load_from_checkpoint → merge_and_unload``
+(ospo/step1.py:198-210 etc.).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+
+from ospo_tpu.image_processing import load_image_processor
+from ospo_tpu.models import janus as janus_lib
+from ospo_tpu.processing import Processor
+from ospo_tpu.tokenizer import load_tokenizer
+
+PRESETS = {
+    "7b": janus_lib.JANUS_PRO_7B,
+    "1b": janus_lib.JANUS_PRO_1B,
+}
+
+
+def has_weights(model_path: Optional[str]) -> bool:
+    if not model_path or not os.path.isdir(model_path):
+        return False
+    import glob
+
+    return bool(
+        glob.glob(os.path.join(model_path, "*.safetensors"))
+        or glob.glob(os.path.join(model_path, "pytorch_model*.bin"))
+    )
+
+
+def build_model(config) -> janus_lib.JanusModel:
+    model_path = config.get("model_path") if hasattr(config, "get") else None
+    if has_weights(model_path):
+        print(f"# Loading Janus-Pro weights from {model_path}")
+        return janus_lib.JanusModel.from_pretrained(model_path)
+
+    preset = (config.get("model_preset") or "tiny") if hasattr(config, "get") else "tiny"
+    seed = int(config.get("seed") or 42) if hasattr(config, "get") else 42
+    if preset in PRESETS:
+        print(f"# No checkpoint at model_path — random-init preset '{preset}'.")
+        cfg = PRESETS[preset]
+    else:
+        print("# No checkpoint at model_path — using tiny random-init model.")
+        cfg = janus_lib.tiny_janus_config()
+    return janus_lib.JanusModel.init(cfg, seed=seed)
+
+
+def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
+    """→ (JanusModel, tokenizer, Processor)."""
+    model = build_model(config)
+    model_path = config.get("model_path")
+    tokenizer = load_tokenizer(
+        model_path if has_weights(model_path) else None,
+        vocab_size=model.cfg.language.vocab_size,
+    )
+    image_size = model.cfg.vision.image_size
+    image_processor = load_image_processor(model_path, image_size=image_size)
+    # tiny models use fewer image tokens than the 576 protocol constant
+    processor = Processor(
+        tokenizer,
+        image_processor,
+        num_image_tokens=model.cfg.num_image_tokens,
+    )
+
+    ckpt_path = config.get("ckpt_path")
+    if ckpt_path:
+        from ospo_tpu.train.checkpoint import merge_lora_checkpoint
+
+        print(f"# Merging LoRA checkpoint {ckpt_path} into base weights.")
+        model = merge_lora_checkpoint(model, ckpt_path)
+
+    return model, tokenizer, processor

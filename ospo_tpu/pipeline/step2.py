@@ -1,0 +1,168 @@
+"""Step 2 — pairwise prompt perturbation: (a) contrastive negative prompts,
+(b) densification of both prompts into long prompts sharing a scene.
+
+CLI/JSON-contract equivalent of ``ospo/step2.py`` +
+``JanusProNegativeGenWrapper`` / ``JanusProDenseGenWrapper``
+(``ospo/wrapper/text_generation.py:107-364``): per batch, the 3 perturbation
+variants are generated as 3 seeded groups (seeds [0,1,2] are part of the
+data protocol), outputs parsed on the reference anchors and accumulated into
+``negative_prompt.json`` → ``long_prompt.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+from typing import List, Optional, Tuple
+
+import jax
+
+from ospo_tpu import chat
+from ospo_tpu.config import build_config
+from ospo_tpu.engine.text_engine import TextGenEngine
+from ospo_tpu.io import save_json_sharded, set_seed, shard_for_process
+from ospo_tpu.pipeline.datasets import batched, load_base_dataset
+from ospo_tpu.pipeline.model_factory import get_model
+from ospo_tpu.pipeline.templates import (
+    get_dense_conversation,
+    get_negative_conversation,
+)
+
+
+def render(system: str, conversation) -> str:
+    return chat.apply_sft_template(conversation, system_prompt=system)
+
+
+# ---------------------------------------------------------------------------
+# 2a — negative prompts
+# ---------------------------------------------------------------------------
+
+
+def parse_negative(answer: str) -> str:
+    """Anchor parse + post-processing (text_generation.py:157-167)."""
+    out = answer.split("Contrastive Prompt: ")[-1].strip()
+    if "<pos>" in out:
+        out = out.replace("<pos>", "").strip()
+    if "Step 1." in out:
+        out = ""
+    return out
+
+
+def run_negative(config, engine: TextGenEngine, data: List[dict]) -> List[dict]:
+    seed_list = list(config.seed_list)
+    output: List[dict] = []
+    for bidx, batch in enumerate(batched(data, int(config.batch_size or 8))):
+        outputs_by_index: List[List[str]] = []
+        for i in range(3):
+            set_seed(seed_list[i])  # drives the spatial template's word draw
+            prompts, keep = [], []
+            for sample in batch:
+                p_type = sample["perturbed_method"][i]
+                system, conv = get_negative_conversation(
+                    sample["sub_category"], p_type, sample["prompt"]
+                )
+                if system is None or conv is None:
+                    keep.append(False)
+                    prompts.append(None)
+                    continue
+                keep.append(True)
+                prompts.append(render(system, conv))
+            live = [p for p in prompts if p is not None]
+            answers = iter(
+                engine.generate(live, rng=jax.random.PRNGKey(seed_list[i]))
+                if live else []
+            )
+            outputs_by_index.append([
+                parse_negative(next(answers)) if k else "" for k in keep
+            ])
+        for s_idx, sample in enumerate(batch):
+            sample["negative_prompt"] = [outputs_by_index[i][s_idx] for i in range(3)]
+            output.append(sample)
+        print(f"[step2a] batch {bidx}: {len(output)}/{len(data)} samples")
+    return output
+
+
+# ---------------------------------------------------------------------------
+# 2b — densification
+# ---------------------------------------------------------------------------
+
+
+def parse_dense(answer: str) -> Tuple[str, str]:
+    """'Step 2./Step 4. … Dense:' anchors (text_generation.py:280-306)."""
+    base = re.search(r"Step 2\. Prompt 1 Dense: (.+)", answer)
+    neg = re.search(r"Step 4\. Prompt 2 Dense: (.+)", answer)
+    base_out = base.group(1) if base else ""
+    neg_out = neg.group(1) if neg else ""
+    if "Step 1." in base_out:
+        base_out = ""
+    if "Step 1." in neg_out:
+        neg_out = ""
+    return base_out, neg_out
+
+
+def run_dense(config, engine: TextGenEngine, data: List[dict]) -> List[dict]:
+    seed_list = list(config.seed_list)
+    output: List[dict] = []
+    for bidx, batch in enumerate(batched(data, int(config.batch_size or 8))):
+        results: List[List[Tuple[str, str]]] = []
+        for i in range(3):
+            set_seed(seed_list[i])
+            prompts, keep = [], []
+            for sample in batch:
+                negative = sample["negative_prompt"][i]
+                if negative == "":
+                    keep.append(False)
+                    prompts.append(None)
+                    continue
+                system, conv = get_dense_conversation(
+                    sample["sub_category"], sample["prompt"], negative
+                )
+                keep.append(True)
+                prompts.append(render(system, conv))
+            live = [p for p in prompts if p is not None]
+            answers = iter(
+                engine.generate(live, rng=jax.random.PRNGKey(seed_list[i]))
+                if live else []
+            )
+            results.append([
+                parse_dense(next(answers)) if k else ("", "") for k in keep
+            ])
+        for s_idx, sample in enumerate(batch):
+            sample["long_prompt"] = [results[i][s_idx][0] for i in range(3)]
+            sample["negative_long_prompt"] = [results[i][s_idx][1] for i in range(3)]
+            output.append(sample)
+        print(f"[step2b] batch {bidx}: {len(output)}/{len(data)} samples")
+    return output
+
+
+def main(config) -> None:
+    assert len(config.seed_list) == 3, "Please set 3 seeds for 3 perturbation types."
+    model, tokenizer, processor = get_model(config)
+    engine = TextGenEngine.from_generation_config(
+        model, processor, config.generation_config
+    )
+
+    # 1. negative prompt generation
+    data_path = config.data_path or os.path.join(
+        os.path.dirname(config.save_path), "step1", "base_prompt.json"
+    )
+    data = shard_for_process(
+        load_base_dataset(data_path, config.get("s_idx"), config.get("e_idx"))
+    )
+    negatives = run_negative(config, engine, data)
+    save_json_sharded(config.save_path, "negative_prompt", negatives)
+    print("(Step 2) Negative prompt generation completed.")
+
+    # 2. densification — consumes this host's negative shard directly
+    # (multi-host safe: no cross-host file dependency before the merge)
+    dense = run_dense(config, engine, negatives)
+    save_json_sharded(config.save_path, "long_prompt", dense)
+    print("(Step 2) Dense prompt generation completed.")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_path", type=str, default="configs/step2.yaml")
+    args, _ = parser.parse_known_args()
+    main(build_config(cfg_path=args.cfg_path))

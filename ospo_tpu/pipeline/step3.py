@@ -1,0 +1,110 @@
+"""Step 3 — image generation (the throughput-critical stage).
+
+CLI/JSON/PNG-contract equivalent of ``ospo/step3.py`` +
+``JanusProImageGenWrapper`` (``ospo/wrapper/image_generation.py``): for each
+item, 3 base + 3 negative images (seed_list [0,1,2] per perturbation index),
+saved as ``{save_path}/{base|negative}/{category}/{item_id}/{i:02d}.png``
+with a ``metadata.json`` next to them; skip-if-exists restart idempotency.
+
+The decode itself runs on the jitted CFG engine (one fused cond/uncond
+batch, 576-token scan) — see ``ospo_tpu.engine.image_engine``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import traceback
+from typing import List
+
+from PIL import Image
+
+from ospo_tpu.config import build_config
+from ospo_tpu.engine.image_engine import ImageGenEngine
+from ospo_tpu.io import save_json, shard_for_process
+from ospo_tpu.pipeline.datasets import batched, load_base_dataset
+from ospo_tpu.pipeline.model_factory import get_model
+from ospo_tpu.processing import t2i_prompt
+
+
+def save_images(images, paths: List[str]) -> None:
+    for img, path in zip(images, paths):
+        try:
+            Image.fromarray(img).save(path)
+        except OSError:  # over-long file name fallback (reference quirk)
+            idx_in_path = os.path.basename(path)
+            Image.fromarray(img).save(f"longprompt_{idx_in_path}")
+
+
+def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> None:
+    batch_size = int(config.batch_size or 4)
+    seed_list = list(config.seed_list)
+    done = 0
+    for batch in batched(data, batch_size):
+        prompt_lists = [[] for _ in range(6)]
+        path_lists = [[] for _ in range(6)]
+        try:
+            for sample in batch:
+                item_id = sample["item_id"]
+                category = sample["category"]
+                groups = (("base", sample["long_prompt"], 0),
+                          ("negative", sample["negative_long_prompt"], 3))
+                for prompt_type, prompts, offset in groups:
+                    save_dir = os.path.join(
+                        config.save_path, prompt_type, category, item_id
+                    )
+                    os.makedirs(save_dir, exist_ok=True)
+                    save_json(save_dir, "metadata", sample)
+                    for i in range(3):
+                        prompt = prompts[i]
+                        if not prompt:
+                            continue
+                        final_path = os.path.join(save_dir, f"{i:02d}.png")
+                        if os.path.exists(final_path):  # restart resume
+                            continue
+                        idx = i + offset
+                        prompt_lists[idx].append(t2i_prompt(processor, prompt))
+                        path_lists[idx].append(final_path)
+
+            for idx in range(6):
+                if not prompt_lists[idx]:
+                    continue
+                images = engine.generate_images(
+                    prompt_lists[idx], seed=seed_list[idx % 3]
+                )
+                save_images(images, path_lists[idx])
+        except Exception as e:  # per-batch fault tolerance (reference parity)
+            print(f"Error in step3 batch: {e}")
+            traceback.print_exc()
+        done += len(batch)
+        print(f"[step3] {done}/{len(data)} items")
+
+
+def main(config) -> None:
+    assert len(config.seed_list) == 3, "Please set 3 seeds for 3 perturbation types."
+    model, tokenizer, processor = get_model(config)
+    gen_cfg = config.generation_config or {}
+    engine = ImageGenEngine(
+        model, processor,
+        cfg_weight=float(gen_cfg.get("cfg_weight", 5.0)),
+        temperature=float(gen_cfg.get("temperature", 1.0)),
+        image_token_num=model.cfg.num_gen_tokens,
+        img_size=model.cfg.gen_image_size,
+        patch_size=model.cfg.vq.downsample_factor,
+    )
+
+    data_path = config.data_path or os.path.join(
+        os.path.dirname(config.save_path), "step2", "long_prompt.json"
+    )
+    data = shard_for_process(
+        load_base_dataset(data_path, config.get("s_idx"), config.get("e_idx"))
+    )
+    run_step3(config, engine, processor, data)
+    print("(Step 3) Image generation completed.")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_path", type=str, default="configs/step3.yaml")
+    args, _ = parser.parse_known_args()
+    main(build_config(cfg_path=args.cfg_path))

@@ -1,0 +1,168 @@
+"""Checkpointing: LoRA adapters + optimizer state + run config.
+
+Layout (one directory per saved step, ``.../step_000123/``):
+  lora.npz     — flattened adapter pytree (path-keyed arrays)
+  opt.npz      — optimizer state (same encoding), optional
+  meta.json    — {step, lora config, scaling}
+  config.yaml  — run config (written once at train start, like save_config)
+
+Downstream generation steps consume a checkpoint via
+:func:`merge_lora_checkpoint`, the equivalent of the reference's
+``get_lora_config`` + ``load_from_checkpoint`` + ``merge_and_unload``
+(ospo/utils/model.py:74-89, ospo/step1.py:198-210).
+
+The flat-npz encoding keeps checkpoints single-file, host-portable and
+free of framework pickle formats; Orbax is intentionally not required for
+adapter-sized state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ospo_tpu.train import lora as lora_lib
+
+
+# ---------------------------------------------------------------------------
+# pytree <-> flat npz
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}[{i}]/"))
+    elif tree is None:
+        pass
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    root: Dict = {}
+    for path, value in flat.items():
+        keys = path.split("/")
+        node = root
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = value
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(re.fullmatch(r"\[\d+\]", k) for k in node):
+            # list nodes may have gaps (children with no leaves, e.g. optax
+            # EmptyState) — keep present indices in numeric order
+            idx = sorted(int(k[1:-1]) for k in node)
+            return [listify(node[f"[{i}]"]) for i in idx]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def apply_flat(tree: Any, flat: Dict[str, np.ndarray], prefix: str = "") -> Any:
+    """Return ``tree`` with every leaf whose path appears in ``flat``
+    replaced by the stored value (structure- and order-safe restore)."""
+    import jax.numpy as jnp
+
+    if isinstance(tree, dict):
+        return {k: apply_flat(v, flat, f"{prefix}{k}/") for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        items = [apply_flat(v, flat, f"{prefix}[{i}]/") for i, v in enumerate(tree)]
+        if isinstance(tree, tuple) and hasattr(tree, "_fields"):  # NamedTuple
+            return type(tree)(*items)
+        return type(tree)(items)
+    if tree is None:
+        return None
+    key = prefix[:-1]
+    if key in flat:
+        return jnp.asarray(flat[key]).astype(tree.dtype) if hasattr(
+            tree, "dtype") else flat[key]
+    return tree
+
+
+def save_tree(path: str, tree: Any) -> None:
+    np.savez(path, **_flatten(jax.device_get(tree)))
+
+
+def load_tree(path: str) -> Any:
+    with np.load(path) as data:
+        return _unflatten({k: data[k] for k in data.files})
+
+
+def load_flat(path: str) -> Dict[str, np.ndarray]:
+    with np.load(path) as data:
+        return {k: data[k] for k in data.files}
+
+
+# ---------------------------------------------------------------------------
+# checkpoint directory API
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    step: int,
+    lora_tree: Any,
+    lora_cfg: lora_lib.LoraConfig,
+    opt_state: Any = None,
+) -> str:
+    path = os.path.join(ckpt_dir, f"step_{step:06d}")
+    os.makedirs(path, exist_ok=True)
+    save_tree(os.path.join(path, "lora.npz"), lora_tree)
+    if opt_state is not None:
+        save_tree(os.path.join(path, "opt.npz"), opt_state)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"step": step, "lora": lora_cfg.to_dict(),
+                   "scaling": lora_cfg.scaling}, f, indent=2)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    return os.path.join(ckpt_dir, steps[-1]) if steps else None
+
+
+def load_checkpoint(path: str) -> Tuple[Any, lora_lib.LoraConfig, int, Any]:
+    """→ (lora_tree, lora_cfg, step, opt_state|None). ``path`` may be a
+    step directory or a parent dir (latest step used)."""
+    if not os.path.isfile(os.path.join(path, "meta.json")):
+        latest = latest_checkpoint(path)
+        if latest is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        path = latest
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    lora_tree = load_tree(os.path.join(path, "lora.npz"))
+    opt_path = os.path.join(path, "opt.npz")
+    # opt state is returned as a flat path→array dict; restore with apply_flat
+    opt_flat = load_flat(opt_path) if os.path.isfile(opt_path) else None
+    return (
+        lora_tree,
+        lora_lib.LoraConfig.from_dict(meta.get("lora", {})),
+        int(meta.get("step", 0)),
+        opt_flat,
+    )
+
+
+def merge_lora_checkpoint(model, ckpt_path: str):
+    """Merge a trained adapter into the base model for generation
+    (round-2 self-improvement entry point)."""
+    from ospo_tpu.models.janus import JanusModel
+
+    lora_tree, lora_cfg, _, _ = load_checkpoint(ckpt_path)
+    merged = lora_lib.merge_into_janus(model.params, lora_tree, lora_cfg.scaling)
+    return JanusModel(model.cfg, merged)

@@ -1,0 +1,111 @@
+"""LoRA adapters for the Llama trunk — functional, stacked per layer.
+
+Replaces peft (``ospo/utils/model.py:43-89``): adapters live in their own
+pytree ``{proj: {"a": [L, d_in, r], "b": [L, r, d_out]}}`` whose leaves are
+scanned alongside the base layer stack (see ``llama.forward``'s ``lora``
+argument).  ``merge`` folds ``scaling·A@B`` into the base weights — the
+equivalent of peft's ``merge_and_unload`` used for round-2 generation.
+
+peft-compatible defaults: A ~ kaiming-uniform, B = 0, scaling = α/r.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ospo_tpu.models.llama import LlamaConfig
+
+# projection name → (base param key, output-width fn)
+_PROJ_TO_PARAM = {
+    "q_proj": "wq",
+    "k_proj": "wk",
+    "v_proj": "wv",
+    "o_proj": "wo",
+    "gate_proj": "w_gate",
+    "up_proj": "w_up",
+    "down_proj": "w_down",
+}
+
+DEFAULT_TARGETS = tuple(_PROJ_TO_PARAM)
+
+
+@dataclasses.dataclass(frozen=True)
+class LoraConfig:
+    rank: int = 32
+    alpha: int = 64
+    dropout: float = 0.05
+    target_modules: Tuple[str, ...] = DEFAULT_TARGETS
+
+    @property
+    def scaling(self) -> float:
+        return self.alpha / self.rank
+
+    def to_dict(self) -> dict:
+        return {
+            "lora_rank": self.rank,
+            "lora_alpha": self.alpha,
+            "lora_dropout": self.dropout,
+            "target_modules": list(self.target_modules),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LoraConfig":
+        return cls(
+            rank=int(d.get("lora_rank", 32)),
+            alpha=int(d.get("lora_alpha", 64)),
+            dropout=float(d.get("lora_dropout", 0.05)),
+            target_modules=tuple(d.get("target_modules", DEFAULT_TARGETS)),
+        )
+
+
+def init_lora(cfg: LlamaConfig, lora_cfg: LoraConfig, key: jax.Array) -> Dict:
+    """Zero-effect init: A kaiming-uniform, B zeros (peft defaults)."""
+    n, d = cfg.num_layers, cfg.hidden_size
+    h, kvh, dh, inter = cfg.num_heads, cfg.kv_heads, cfg.dim_head, cfg.intermediate_size
+    widths = {
+        "q_proj": (d, h * dh),
+        "k_proj": (d, kvh * dh),
+        "v_proj": (d, kvh * dh),
+        "o_proj": (h * dh, d),
+        "gate_proj": (d, inter),
+        "up_proj": (d, inter),
+        "down_proj": (inter, d),
+    }
+    r = lora_cfg.rank
+    tree: Dict = {}
+    keys = jax.random.split(key, len(lora_cfg.target_modules))
+    for k, name in zip(keys, lora_cfg.target_modules):
+        d_in, d_out = widths[name]
+        bound = (1.0 / d_in) ** 0.5 * (3.0 ** 0.5)  # kaiming uniform, a=√5
+        tree[name] = {
+            "a": jax.random.uniform(k, (n, d_in, r), jnp.float32, -bound, bound),
+            "b": jnp.zeros((n, r, d_out), jnp.float32),
+        }
+    return tree
+
+
+def merge(base_llama_params: Dict, lora_tree: Dict, scaling: float) -> Dict:
+    """Fold adapters into the stacked base weights (merge_and_unload)."""
+    layers = dict(base_llama_params["layers"])
+    for name, ab in lora_tree.items():
+        pkey = _PROJ_TO_PARAM[name]
+        w = layers[pkey]
+        delta = jnp.einsum("ndr,nrf->ndf", ab["a"], ab["b"]) * scaling
+        layers[pkey] = (w.astype(jnp.float32) + delta).astype(w.dtype)
+    out = dict(base_llama_params)
+    out["layers"] = layers
+    return out
+
+
+def merge_into_janus(janus_params: Dict, lora_tree: Dict, scaling: float) -> Dict:
+    out = dict(janus_params)
+    out["language_model"] = merge(janus_params["language_model"], lora_tree, scaling)
+    return out
+
+
+def num_params(lora_tree: Dict) -> int:
+    return sum(x.size for x in jax.tree.leaves(lora_tree))

@@ -1,0 +1,259 @@
+"""SimPO trainer (step 5): jitted train step + host loop.
+
+TPU-first restructuring of ``JanusProTrainWrapper`` + Lightning
+(``ospo/wrapper/train.py``, ``ospo/utils/train.py``): one jitted step fuses
+the whole pipeline the reference runs in python —
+
+  on-device VQ encode of chosen/rejected images → 576 ids each
+  → gen-aligner embeds, concat with zero-padded text embeds (labels −100)
+  → 2B stacked trunk forward (remat) → gen_head logits → SimPO loss
+  → grads over the LoRA adapters only → optax AdamW update
+
+Reference semantics preserved: text positions contribute no loss; the
+trunk sees an all-ones attention mask (the reference passes none);
+chosen/rejected halves share the text prefix.  Gradient accumulation uses
+``optax.MultiSteps``; metrics match train.py:432-443.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ospo_tpu.config import save_config
+from ospo_tpu.constants import IGNORE_ID
+from ospo_tpu.models import janus as janus_lib
+from ospo_tpu.models import llama as llama_lib
+from ospo_tpu.models import vqgan
+from ospo_tpu.pipeline.datasets import PreferenceDataset
+from ospo_tpu.train import checkpoint as ckpt_lib
+from ospo_tpu.train import lora as lora_lib
+from ospo_tpu.train.optim import build_optimizer, cosine_decay_warmup
+from ospo_tpu.train.simpo import SimPOConfig, loss_and_metrics
+
+
+def _bucket(n: int, step: int = 32) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+class SimPOTrainer:
+    def __init__(self, config, model: janus_lib.JanusModel, processor):
+        self.config = config
+        self.model = model
+        self.processor = processor
+
+        algo = config.get("algo") or {}
+        self.simpo_cfg = SimPOConfig(
+            beta=float(algo.get("beta", 1.0)),
+            gamma_beta_ratio=float(algo.get("gamma_beta_ratio", 0.0)),
+            label_smoothing=float(algo.get("label_smoothing", 0.0)),
+            sft_weight=float(algo.get("sft_weight", 0.0)),
+            loss_type=algo.get("loss_type", "sigmoid"),
+        )
+
+        self.use_peft = bool(config.get("use_peft", True))
+        lcfg = config.get("lora") or {}
+        self.lora_cfg = lora_lib.LoraConfig(
+            rank=int(lcfg.get("lora_rank", 32)),
+            alpha=int(lcfg.get("lora_alpha", 64)),
+            dropout=float(lcfg.get("lora_dropout", 0.05)),
+            target_modules=tuple(
+                lcfg.get("target_modules") or lora_lib.DEFAULT_TARGETS
+            ),
+        )
+
+        exp = config.get("experiment") or {}
+        opt_cfg = config.get("optimizer") or {}
+        self.max_steps = int(exp.get("max_training_steps") or 1000)
+        self.save_steps = exp.get("save_steps")
+        self.log_steps = int(exp.get("log_steps") or 10)
+        self.grad_accum = int(exp.get("gradient_accumulation_steps") or 1)
+        self.remat = bool(exp.get("gradient_checkpointing", True))
+        self.seed = int(exp.get("seed", 42))
+
+        self.init_lr = float(opt_cfg.get("init_lr", 4e-5))
+        scheduler_type = opt_cfg.get("scheduler_type", "constant")
+        warmup_ratio = float(exp.get("warmup_ratio") or 0.0)
+        min_lr = float(opt_cfg.get("min_lr") or 1e-6)
+        self.tx = build_optimizer(
+            init_lr=self.init_lr,
+            betas=tuple(opt_cfg.get("betas", (0.9, 0.95))),
+            weight_decay=float(opt_cfg.get("weight_decay") or 0.0),
+            eps=float(opt_cfg.get("eps") or 1e-8),
+            scheduler_type=scheduler_type,
+            max_steps=self.max_steps,
+            warmup_ratio=warmup_ratio,
+            min_lr=min_lr,
+            grad_clip=exp.get("gradient_clip_val", 1.0),
+            accumulation_steps=self.grad_accum,
+        )
+        if scheduler_type == "constant":
+            self._lr_fn = lambda s: self.init_lr
+        else:
+            sched = cosine_decay_warmup(
+                self.init_lr, int(self.max_steps * warmup_ratio),
+                self.max_steps, min_lr,
+            )
+            self._lr_fn = lambda s: float(sched(s))
+
+        base = config.get("base") or {}
+        self.save_path = base.get("save_path") or "./checkpoints/simpo"
+        exp_name = base.get("exp_name") or "ospo"
+        self.log_dir = os.path.join(self.save_path, exp_name)
+
+        # trainable state
+        if self.use_peft:
+            self.lora_tree = lora_lib.init_lora(
+                model.cfg.language, self.lora_cfg, jax.random.PRNGKey(self.seed)
+            )
+        else:
+            raise NotImplementedError(
+                "full-finetune freeze matrix not wired yet; use use_peft=True"
+            )
+        self.opt_state = self.tx.init(self.lora_tree)
+        self.global_step = 0
+
+        self._writer = None
+
+    # ------------------------------------------------------------------
+    # preprocessing (host): variable-length text → bucketed arrays
+    # ------------------------------------------------------------------
+    def collate(self, items: List[Dict]) -> Dict[str, np.ndarray]:
+        t_max = _bucket(max(len(it["text_tokens"]) for it in items))
+        b = len(items)
+        text_ids = np.zeros((b, t_max), np.int32)
+        text_mask = np.zeros((b, t_max), np.float32)
+        for i, it in enumerate(items):
+            ids = it["text_tokens"]
+            text_ids[i, : len(ids)] = ids       # right padding (train.py:237-239)
+            text_mask[i, : len(ids)] = 1.0
+        return {
+            "text_ids": text_ids,
+            "text_mask": text_mask,
+            "chosen_pixels": np.stack([it["chosen_pixels"] for it in items]),
+            "rejected_pixels": np.stack([it["rejected_pixels"] for it in items]),
+        }
+
+    # ------------------------------------------------------------------
+    # jitted step
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+    def _step(self, lora_tree, opt_state, text_ids, text_mask,
+              chosen_pixels, rejected_pixels):
+        params = self.model.params
+        cfg = self.model.cfg
+        b = text_ids.shape[0]
+
+        # frozen VQ tokenizer: images → codebook ids (train.py:253-258)
+        pixels = jnp.concatenate([chosen_pixels, rejected_pixels], axis=0)
+        img_ids = jax.lax.stop_gradient(
+            vqgan.encode_to_ids(params["gen_vision_model"], cfg.vq, pixels)
+        )                                                       # [2B, 576]
+
+        def loss_fn(lora_tree):
+            text_embeds = janus_lib.embed_text(params, text_ids)
+            text_embeds = text_embeds * text_mask[..., None]    # zero-pad embeds
+            text_2b = jnp.concatenate([text_embeds, text_embeds], axis=0)
+            img_embeds = janus_lib.prepare_gen_img_embeds(params, cfg, img_ids)
+            seq = jnp.concatenate([text_2b, img_embeds], axis=1)
+
+            t_total = seq.shape[1]
+            attn = jnp.ones((2 * b, t_total), jnp.int32)
+            pos = jnp.broadcast_to(jnp.arange(t_total), (2 * b, t_total))
+            hidden, _ = llama_lib.forward(
+                params["language_model"], cfg.language, seq, attn, pos,
+                lora=lora_tree, lora_scaling=self.lora_cfg.scaling,
+                remat=self.remat,
+            )
+            logits = janus_lib.gen_logits(params, hidden)        # [2B, T, 16384]
+
+            text_labels = jnp.full((2 * b, text_ids.shape[1]), IGNORE_ID, jnp.int32)
+            labels = jnp.concatenate([text_labels, img_ids.astype(jnp.int32)], axis=1)
+            return loss_and_metrics(self.simpo_cfg, logits, labels)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora_tree)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = self.tx.update(grads, opt_state, lora_tree)
+        lora_tree = optax.apply_updates(lora_tree, updates)
+        return lora_tree, opt_state, metrics
+
+    # ------------------------------------------------------------------
+    # host loop
+    # ------------------------------------------------------------------
+    def writer(self):
+        if self._writer is None:
+            from tensorboardX import SummaryWriter
+
+            os.makedirs(self.log_dir, exist_ok=True)
+            self._writer = SummaryWriter(self.log_dir)
+        return self._writer
+
+    def resume(self, ckpt_path: str) -> None:
+        lora_tree, lora_cfg, step, opt_flat = ckpt_lib.load_checkpoint(ckpt_path)
+        self.lora_tree = jax.tree.map(jnp.asarray, lora_tree)
+        self.lora_cfg = lora_cfg
+        self.global_step = step
+        if opt_flat is not None:
+            # path-keyed restore into the freshly-initialised optax structure
+            self.opt_state = ckpt_lib.apply_flat(self.opt_state, opt_flat)
+        print(f"# Resumed from {ckpt_path} at step {step}.")
+
+    def save(self) -> str:
+        path = ckpt_lib.save_checkpoint(
+            self.log_dir, self.global_step, self.lora_tree, self.lora_cfg,
+            opt_state=self.opt_state,
+        )
+        print(f"# Saved checkpoint: {path}")
+        return path
+
+    def fit(self, dataset: PreferenceDataset, batch_size: int,
+            max_epochs: int = 1) -> Dict[str, float]:
+        save_config(self.log_dir, self.config)
+        last_metrics: Dict[str, float] = {}
+        t0 = time.time()
+        samples = 0
+        for epoch in range(max_epochs):
+            for batch_items in dataset.iter_batches(
+                batch_size, shuffle=True, seed=self.seed + epoch
+            ):
+                if self.global_step >= self.max_steps:
+                    break
+                batch = self.collate(batch_items)
+                self.lora_tree, self.opt_state, metrics = self._step(
+                    self.lora_tree, self.opt_state,
+                    jnp.asarray(batch["text_ids"]),
+                    jnp.asarray(batch["text_mask"]),
+                    jnp.asarray(batch["chosen_pixels"]),
+                    jnp.asarray(batch["rejected_pixels"]),
+                )
+                self.global_step += 1
+                samples += len(batch_items)
+
+                if self.global_step % self.log_steps == 0 or self.global_step == 1:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics["lr"] = self._lr_fn(self.global_step)
+                    metrics["samples_per_sec"] = samples / (time.time() - t0)
+                    w = self.writer()
+                    for k, v in metrics.items():
+                        w.add_scalar(f"train/{k}", v, self.global_step)
+                    print(
+                        f"step {self.global_step}: loss={metrics['loss']:.4f} "
+                        f"acc={metrics['rewards/accuracies']:.3f} "
+                        f"margin={metrics['rewards/margins']:.4f} "
+                        f"{metrics['samples_per_sec']:.2f} samples/s"
+                    )
+                    last_metrics = metrics
+
+                if self.save_steps and self.global_step % int(self.save_steps) == 0:
+                    self.save()
+        self.save()
+        if self._writer is not None:
+            self._writer.flush()
+        return last_metrics
