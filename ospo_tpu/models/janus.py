@@ -193,7 +193,10 @@ class JanusModel:
 
     @classmethod
     def init(cls, cfg: JanusConfig, seed: int = 0) -> "JanusModel":
-        return cls(cfg, init_params(cfg, jax.random.PRNGKey(seed)))
+        # one fused jit: ~250 small init ops as a single device program
+        # (dispatching them individually is pathological on remote backends)
+        init = jax.jit(init_params, static_argnums=0)
+        return cls(cfg, init(cfg, jax.random.PRNGKey(seed)))
 
     @classmethod
     def from_pretrained(cls, model_path: str,

@@ -1,0 +1,127 @@
+"""GSPMD mesh + sharding rules — the framework's entire parallelism layer.
+
+The reference's only strategy is DDP over NCCL (SURVEY §2.5).  Here a single
+``Mesh(('data', 'model'))`` over the ICI provides:
+
+- **DP**: batches sharded on ``data`` (every engine/train batch dim);
+- **TP**: the 7B Llama weights sharded on ``model`` with Megatron-style
+  column/row rules (qkv/gate/up column-parallel, o/down row-parallel,
+  embedding and lm/gen heads vocab-parallel) — XLA inserts the
+  all-reduce/all-gather collectives over ICI;
+- LoRA adapters follow their base projection's sharding (A replicated,
+  B column-sharded), so SimPO training runs dp×tp with zero code changes
+  in the train step.
+
+ViT/VQ-GAN params are replicated (≲400M combined — cheaper to replicate
+than to shard their conv stacks).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: Optional[int] = None,
+    devices=None,
+) -> Mesh:
+    """Build a (data, model) mesh.  ``model_parallel`` defaults to 1 (pure
+    DP) — raise it when per-chip HBM demands sharded weights."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    mp = model_parallel or 1
+    assert n_devices % mp == 0, (n_devices, mp)
+    grid = devices.reshape(n_devices // mp, mp)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+# ---------------------------------------------------------------------------
+# sharding rules
+# ---------------------------------------------------------------------------
+
+
+def llama_param_specs() -> Dict[str, Any]:
+    """PartitionSpecs for the stacked Llama tree (layer axis first)."""
+    return {
+        "embed": P(MODEL_AXIS, None),           # vocab-parallel embedding
+        "layers": {
+            "attn_norm": P(None, None),
+            "wq": P(None, None, MODEL_AXIS),    # column parallel (heads)
+            "wk": P(None, None, MODEL_AXIS),
+            "wv": P(None, None, MODEL_AXIS),
+            "wo": P(None, MODEL_AXIS, None),    # row parallel
+            "mlp_norm": P(None, None),
+            "w_gate": P(None, None, MODEL_AXIS),
+            "w_up": P(None, None, MODEL_AXIS),
+            "w_down": P(None, MODEL_AXIS, None),
+        },
+        "final_norm": P(None),
+        "lm_head": P(None, MODEL_AXIS),         # vocab-parallel head
+    }
+
+
+def lora_param_specs(lora_tree: Dict) -> Dict[str, Any]:
+    """A replicated, B sharded like its base projection's output dim."""
+    col = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"}
+    specs: Dict[str, Any] = {}
+    for name in lora_tree:
+        if name in col:
+            specs[name] = {"a": P(None, None, None), "b": P(None, None, MODEL_AXIS)}
+        else:  # o_proj / down_proj: row-parallel base → A input-sharded
+            specs[name] = {"a": P(None, MODEL_AXIS, None), "b": P(None, None, None)}
+    return specs
+
+
+def _replicated_like(tree: Any) -> Any:
+    return jax.tree.map(lambda _: P(), tree)
+
+
+def janus_param_specs(params: Dict) -> Dict[str, Any]:
+    specs = {k: _replicated_like(v) for k, v in params.items()}
+    specs["language_model"] = llama_param_specs()
+    # gen_head's wide output layer is the other big matrix worth sharding
+    specs["gen_head"] = {
+        "proj": {"w": P(None, None), "b": P(None)},
+        "head": {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)},
+    }
+    return specs
+
+
+def shard_janus_params(params: Dict, mesh: Mesh) -> Dict:
+    """device_put the full Janus tree with TP rules over ``mesh``."""
+    specs = janus_param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_lora_params(lora_tree: Dict, mesh: Mesh) -> Dict:
+    specs = lora_param_specs(lora_tree)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), lora_tree, specs
+    )
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Shard leading batch dims across the data axis."""
+
+    def put(x):
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1))) if x.ndim else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
