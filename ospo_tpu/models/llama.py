@@ -219,10 +219,7 @@ def forward(
     cache_len = kv_cache["length"] if use_cache else None
     T = x.shape[1]
 
-    def layer_body(carry, layer_in):
-        x = carry
-        lp, kcache, vcache, llora = layer_in
-
+    def qkv(x, lp, llora):
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
         q = _maybe_lora(h, lp["wq"], llora, "q_proj", lora_scaling)
         k = _maybe_lora(h, lp["wk"], llora, "k_proj", lora_scaling)
@@ -231,74 +228,79 @@ def forward(
         q = q.reshape(B, T, cfg.num_heads, cfg.dim_head)
         k = k.reshape(B, T, cfg.kv_heads, cfg.dim_head)
         v = v.reshape(B, T, cfg.kv_heads, cfg.dim_head)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
-        if use_cache:
-            kcache = jax.lax.dynamic_update_slice(
-                kcache, k.astype(kcache.dtype), (0, cache_len, 0, 0)
-            )
-            vcache = jax.lax.dynamic_update_slice(
-                vcache, v.astype(vcache.dtype), (0, cache_len, 0, 0)
-            )
-            if self_attn:
-                k_att, v_att = k, v
-                q_offset = 0
-            else:
-                k_att, v_att = kcache, vcache
-                q_offset = cache_len
-        else:
-            k_att, v_att = k, v
-            q_offset = 0
-
-        attn_out = attention(
-            q, k_att, v_att,
-            mask=attention_mask,
-            q_offset=q_offset,
-            causal=True,
-        )
+    def finish_layer(x, lp, llora, q, k_att, v_att, q_offset, att_mask):
+        B = x.shape[0]
+        attn_out = attention(q, k_att, v_att, mask=att_mask,
+                             q_offset=q_offset, causal=True)
         attn_out = attn_out.reshape(B, T, cfg.num_heads * cfg.dim_head)
-        o = _maybe_lora(attn_out, lp["wo"], llora, "o_proj", lora_scaling)
-        x = x + o
-
+        x = x + _maybe_lora(attn_out, lp["wo"], llora, "o_proj", lora_scaling)
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
         gate = _maybe_lora(h, lp["w_gate"], llora, "gate_proj", lora_scaling)
         up = _maybe_lora(h, lp["w_up"], llora, "up_proj", lora_scaling)
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
-        down = _maybe_lora(act, lp["w_down"], llora, "down_proj", lora_scaling)
-        x = x + down
-        return x, (kcache, vcache) if use_cache else None
+        return x + _maybe_lora(act, lp["w_down"], llora, "down_proj", lora_scaling)
 
-    if remat:
-        layer_body = jax.checkpoint(layer_body)
+    if use_cache:
+        # Cache as scan *carry* (not ys): the dynamic_update_slice aliases
+        # the carried buffer in-place inside the while loop — no full-cache
+        # copy per decode step (2×[L,B,S,H,Dh] would otherwise round-trip
+        # HBM on every generated token).
+        def layer_body(carry, layer_in):
+            x, kc_all, vc_all = carry
+            lp, llora, li = layer_in
+            q, k, v = qkv(x, lp, llora)
+            kc_all = jax.lax.dynamic_update_slice(
+                kc_all, k.astype(kc_all.dtype)[None], (li, 0, cache_len, 0, 0)
+            )
+            vc_all = jax.lax.dynamic_update_slice(
+                vc_all, v.astype(vc_all.dtype)[None], (li, 0, cache_len, 0, 0)
+            )
+            if self_attn:
+                k_att, v_att, q_offset = k, v, 0
+            else:
+                k_att = jax.lax.dynamic_index_in_dim(kc_all, li, 0, keepdims=False)
+                v_att = jax.lax.dynamic_index_in_dim(vc_all, li, 0, keepdims=False)
+                q_offset = cache_len
+            x = finish_layer(x, lp, llora, q, k_att, v_att, q_offset,
+                             attention_mask)
+            return (x, kc_all, vc_all), None
 
-    layer_inputs = (
-        params["layers"],
-        kv_cache["k"] if use_cache else jnp.zeros((cfg.num_layers, 0)),
-        kv_cache["v"] if use_cache else jnp.zeros((cfg.num_layers, 0)),
-        lora if lora is not None else None,
-    )
-
-    # lax.scan needs every scanned input to share the leading layer axis;
-    # `lora=None` is handled by substituting an empty pytree.
-    if lora is None:
-        x_final, cache_out = jax.lax.scan(
-            lambda c, t: layer_body(c, (t[0], t[1], t[2], None)),
-            x,
-            (layer_inputs[0], layer_inputs[1], layer_inputs[2]),
-        )
+        if remat:
+            layer_body = jax.checkpoint(layer_body)
+        layer_idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        if lora is None:
+            (x_final, kc, vc), _ = jax.lax.scan(
+                lambda c, t: layer_body(c, (t[0], None, t[1])),
+                (x, kv_cache["k"], kv_cache["v"]),
+                (params["layers"], layer_idx),
+            )
+        else:
+            (x_final, kc, vc), _ = jax.lax.scan(
+                layer_body,
+                (x, kv_cache["k"], kv_cache["v"]),
+                (params["layers"], lora, layer_idx),
+            )
+        new_cache = {"k": kc, "v": vc, "length": kv_cache["length"] + T}
     else:
-        x_final, cache_out = jax.lax.scan(layer_body, x, layer_inputs)
+        def layer_body(x, layer_in):
+            lp, llora = layer_in
+            q, k, v = qkv(x, lp, llora)
+            x = finish_layer(x, lp, llora, q, k, v, 0, attention_mask)
+            return x, None
+
+        if remat:
+            layer_body = jax.checkpoint(layer_body)
+        if lora is None:
+            x_final, _ = jax.lax.scan(
+                lambda c, t: layer_body(c, (t, None)), x, params["layers"]
+            )
+        else:
+            x_final, _ = jax.lax.scan(layer_body, x, (params["layers"], lora))
+        new_cache = None
 
     x_final = rms_norm(x_final, params["final_norm"], cfg.rms_norm_eps)
-
-    new_cache = None
-    if use_cache:
-        new_cache = {
-            "k": cache_out[0],
-            "v": cache_out[1],
-            "length": kv_cache["length"] + T,
-        }
     return x_final, new_cache
 
 

@@ -56,7 +56,7 @@ def _flash_kernel(
         k_rows = kb * blk_k + jax.lax.broadcasted_iota(
             jnp.int32, (blk_q, blk_k), 1
         )
-        valid = mask_ref[0, pl.ds(kb * blk_k, blk_k)][None, :] > 0
+        valid = mask_ref[0, 0, pl.ds(kb * blk_k, blk_k)][None, :] > 0
         if causal:
             valid = valid & (k_rows <= q_rows)
         s = jnp.where(valid, s, _NEG_INF)
@@ -121,7 +121,8 @@ def flash_attention(
 
     if mask is None:
         mask = jnp.ones((B, S), jnp.int32)
-    mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, s_pad - S)))
+    # [B, 1, S_pad]: TPU block shapes must tile the last two dims exactly
+    mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, s_pad - S)))[:, None, :]
 
     grid = (B, H, t_pad // blk_q)
     out = pl.pallas_call(
@@ -138,7 +139,7 @@ def flash_attention(
             pl.BlockSpec((1, 1, blk_q, D), lambda b, h, i: (b, h, i, 0)),
             pl.BlockSpec((1, 1, s_pad, D), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, s_pad, D), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, s_pad), lambda b, h, i: (b, 0)),
+            pl.BlockSpec((1, 1, s_pad), lambda b, h, i: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, blk_q, D), lambda b, h, i: (b, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, t_pad, D), q.dtype),

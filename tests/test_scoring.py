@@ -1,0 +1,66 @@
+"""ScoringEngine: record schema, score math, and pair-selection parity."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ospo_tpu.engine.scoring import ScoringEngine, compute_preference_strength
+from ospo_tpu.image_processing import ImageProcessor
+from ospo_tpu.models import janus
+from ospo_tpu.processing import Processor
+from ospo_tpu.tokenizer import ByteTokenizer
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = janus.tiny_janus_config()
+    model = janus.JanusModel.init(cfg, seed=0)
+    tok = ByteTokenizer(vocab_size=cfg.language.vocab_size)
+    proc = Processor(tok, ImageProcessor(image_size=32),
+                     num_image_tokens=cfg.num_image_tokens)
+    return ScoringEngine(model, proc)
+
+
+def test_score_image_schema(engine):
+    img = Image.fromarray(
+        (np.random.default_rng(0).random((32, 32, 3)) * 255).astype(np.uint8))
+    questions = ["Is there a cat?", "Is it black?",
+                 "Does this image accurately represent the prompt?"]
+    out = engine.score_image(img, questions)
+    assert set(out) == {"local_score", "global_score", "answer_metadata"}
+    assert len(out["answer_metadata"]) == 3
+    for meta in out["answer_metadata"]:
+        assert 0.0 <= meta["p_yes"] <= 1.0
+        assert 0.0 <= meta["p_no"] <= 1.0
+        assert meta["answer"] in ("yes", "no", "tie")
+    # local = mean gap over the first Q-1 questions
+    gaps = [m["p_yes"] - m["p_no"] for m in out["answer_metadata"]]
+    np.testing.assert_allclose(out["local_score"], np.mean(gaps[:-1]), atol=1e-6)
+    np.testing.assert_allclose(out["global_score"], gaps[-1], atol=1e-6)
+
+
+def _img(local, global_, path):
+    return {"path": path, "local_score": local, "global_score": global_,
+            "answer_metadata": []}
+
+
+def test_preference_strength_selects_expected_pair():
+    base = {f"base_{i}": _img(l, g, f"b{i}.png")
+            for i, (l, g) in enumerate([(0.9, 0.8), (0.5, 0.5), (0.2, 0.9)])}
+    neg = {f"negative_{i}": _img(l, g, f"n{i}.png")
+           for i, (l, g) in enumerate([(0.1, 0.7), (0.4, 0.4), (0.5, 0.2)])}
+    # gaps: pair0 local 0.8 / global 0.1; pair1 0.1/0.1; pair2 -0.3/0.7 (filtered)
+    chosen, rejected, meta = compute_preference_strength(base, neg)
+    assert (chosen, rejected) == ("b0.png", "n0.png")
+    assert meta["local_gap"] == pytest.approx(0.8)
+    assert meta["global_gap"] == pytest.approx(0.1 + 0.8 - 0.8, abs=1e-9)
+
+
+def test_preference_strength_filters_negative_gaps():
+    base = {"base_0": _img(0.1, 0.1, "b.png")}
+    neg = {"negative_0": _img(0.5, 0.5, "n.png")}
+    assert compute_preference_strength(base, neg) is None
+
+
+def test_preference_strength_empty():
+    assert compute_preference_strength({}, {}) is None
