@@ -101,21 +101,22 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
     def norm(k, *shape):
         return (jax.random.normal(k, shape, jnp.float32) * std).astype(cfg.dtype)
 
+    # all projection weights torch-layout [out_features, in_features]
     return {
         "embed": norm(keys[0], v, d),
         "layers": {
             "attn_norm": jnp.ones((n, d), cfg.dtype),
-            "wq": norm(keys[1], n, d, h * dh),
-            "wk": norm(keys[2], n, d, kvh * dh),
-            "wv": norm(keys[3], n, d, kvh * dh),
-            "wo": norm(keys[4], n, h * dh, d),
+            "wq": norm(keys[1], n, h * dh, d),
+            "wk": norm(keys[2], n, kvh * dh, d),
+            "wv": norm(keys[3], n, kvh * dh, d),
+            "wo": norm(keys[4], n, d, h * dh),
             "mlp_norm": jnp.ones((n, d), cfg.dtype),
-            "w_gate": norm(keys[5], n, d, i),
-            "w_up": norm(keys[6], n, d, i),
-            "w_down": norm(keys[7], n, i, d),
+            "w_gate": norm(keys[5], n, i, d),
+            "w_up": norm(keys[6], n, i, d),
+            "w_down": norm(keys[7], n, d, i),
         },
         "final_norm": jnp.ones((d,), cfg.dtype),
-        "lm_head": norm(keys[8], d, v),
+        "lm_head": norm(keys[8], v, d),
     }
 
 
@@ -154,11 +155,16 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]],
                 name: str, scaling: float) -> jax.Array:
-    """y = x @ w (+ scaling * (x @ A) @ B when a LoRA adapter exists).
+    """y = x @ wᵀ (+ scaling * (x @ A) @ B when a LoRA adapter exists).
 
-    ``lora`` holds per-projection stacked A/B for the current layer.
+    Weights are stored torch-layout ``[out_features, in_features]`` — the
+    contraction on the trailing dim lets XLA slice the stacked [L, F, D]
+    tensors in both prefill and decode loops without materialising
+    transposed copies (≈2 GB of HLO temps at 7B otherwise), and makes HF
+    checkpoint porting transpose-free.  ``lora`` holds per-projection
+    stacked A [d_in, r] / B [r, d_out] for the current layer.
     """
-    y = jnp.einsum("btd,df->btf", x, w)
+    y = jnp.einsum("btd,fd->btf", x, w)
     if lora is not None and name in lora:
         a, b = lora[name]["a"], lora[name]["b"]
         y = y + scaling * jnp.einsum(
@@ -305,7 +311,7 @@ def forward(
 
 
 def logits_from_hidden(params: Params, hidden: jax.Array) -> jax.Array:
-    return jnp.einsum("btd,dv->btv", hidden, params["lm_head"]).astype(jnp.float32)
+    return jnp.einsum("btd,vd->btv", hidden, params["lm_head"]).astype(jnp.float32)
 
 
 def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:

@@ -19,14 +19,15 @@ Params = Dict[str, Any]
 
 def _linear_init(key, cin, cout, dtype):
     std = 0.02
+    # torch layout [out, in] — transpose-free porting + copy-free slicing
     return {
-        "w": (jax.random.normal(key, (cin, cout), jnp.float32) * std).astype(dtype),
+        "w": (jax.random.normal(key, (cout, cin), jnp.float32) * std).astype(dtype),
         "b": jnp.zeros((cout,), dtype),
     }
 
 
 def _linear(p: Params, x: jax.Array) -> jax.Array:
-    return jnp.einsum("...d,df->...f", x, p["w"]) + p["b"]
+    return jnp.einsum("...d,fd->...f", x, p["w"]) + p["b"]
 
 
 def _gelu(x: jax.Array) -> jax.Array:

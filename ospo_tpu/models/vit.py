@@ -88,15 +88,15 @@ def init_params(cfg: ViTConfig, key: jax.Array) -> Params:
         "blocks": {
             "norm1_scale": jnp.ones((n, d), cfg.dtype),
             "norm1_bias": jnp.zeros((n, d), cfg.dtype),
-            "wqkv": norm(keys[2], n, d, 3 * d),
+            "wqkv": norm(keys[2], n, 3 * d, d),
             "bqkv": jnp.zeros((n, 3 * d), cfg.dtype),
             "wo": norm(keys[3], n, d, d),
             "bo": jnp.zeros((n, d), cfg.dtype),
             "norm2_scale": jnp.ones((n, d), cfg.dtype),
             "norm2_bias": jnp.zeros((n, d), cfg.dtype),
-            "w1": norm(keys[4], n, d, hdim),
+            "w1": norm(keys[4], n, hdim, d),
             "b1": jnp.zeros((n, hdim), cfg.dtype),
-            "w2": norm(keys[5], n, hdim, d),
+            "w2": norm(keys[5], n, d, hdim),
             "b2": jnp.zeros((n, d), cfg.dtype),
         },
         "final_norm": {
@@ -136,18 +136,18 @@ def forward(params: Params, cfg: ViTConfig, pixels: jax.Array) -> jax.Array:
 
     def block(x, bp):
         hidd = layer_norm(x, bp["norm1_scale"], bp["norm1_bias"], eps)
-        qkv = jnp.einsum("bnd,df->bnf", hidd, bp["wqkv"]) + bp["bqkv"]
+        qkv = jnp.einsum("bnd,fd->bnf", hidd, bp["wqkv"]) + bp["bqkv"]
         b, n, _ = qkv.shape
         q, k, v = jnp.split(qkv.reshape(b, n, 3, h, dh), 3, axis=2)
         q, k, v = (t.squeeze(2) for t in (q, k, v))
         att = attention(q, k, v, mask=None, causal=False)
         att = att.reshape(b, n, h * dh)
-        x = x + jnp.einsum("bnd,df->bnf", att, bp["wo"]) + bp["bo"]
+        x = x + jnp.einsum("bnd,fd->bnf", att, bp["wo"]) + bp["bo"]
 
         hidd = layer_norm(x, bp["norm2_scale"], bp["norm2_bias"], eps)
-        hidd = jnp.einsum("bnd,df->bnf", hidd, bp["w1"]) + bp["b1"]
+        hidd = jnp.einsum("bnd,fd->bnf", hidd, bp["w1"]) + bp["b1"]
         hidd = jax.nn.gelu(hidd.astype(jnp.float32), approximate=False).astype(x.dtype)
-        x = x + jnp.einsum("bnf,fd->bnd", hidd, bp["w2"]) + bp["b2"]
+        x = x + jnp.einsum("bnf,df->bnd", hidd, bp["w2"]) + bp["b2"]
         return x, None
 
     x, _ = jax.lax.scan(block, x, params["blocks"])

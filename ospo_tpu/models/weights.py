@@ -3,8 +3,9 @@
 Maps the torch ``MultiModalityCausalLM`` state dict (safetensors shards) to
 this framework's functional pytrees:
 
-- per-layer Llama matrices are transposed ([out,in] → [in,out]) and stacked
-  along the layer axis for the ``lax.scan`` forward;
+- per-layer Llama/ViT matrices keep their torch ``[out, in]`` layout and are
+  stacked along the layer axis for the ``lax.scan`` forward (the framework's
+  projection convention — transpose-free porting, copy-free layer slicing);
 - conv kernels go OIHW → HWIO for the NHWC conv stacks;
 - timm-ViT ``blocks.{i}`` params stack along layers; the unused latent
   attention-pool head (``attn_pool.*``) is dropped (Janus runs the tower
@@ -76,27 +77,26 @@ def port_llama(sd: Mapping[str, np.ndarray], cfg: llama_lib.LlamaConfig,
     n = cfg.num_layers
     dt = cfg.dtype
 
-    def stack(fmt: str, transpose: bool = True) -> Array:
+    def stack(fmt: str) -> Array:
+        # torch [out, in] layout is kept verbatim — no transposes anywhere
         mats = [np.asarray(sd[prefix + fmt.format(i)], np.float32) for i in range(n)]
-        if transpose:
-            mats = [m.T for m in mats]
         return jnp.asarray(np.stack(mats)).astype(dt)
 
     return {
         "embed": _cast(np.asarray(sd[prefix + "model.embed_tokens.weight"]), dt),
         "layers": {
-            "attn_norm": stack("model.layers.{}.input_layernorm.weight", False),
+            "attn_norm": stack("model.layers.{}.input_layernorm.weight"),
             "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
             "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
             "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
             "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
-            "mlp_norm": stack("model.layers.{}.post_attention_layernorm.weight", False),
+            "mlp_norm": stack("model.layers.{}.post_attention_layernorm.weight"),
             "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
             "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
             "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
         },
         "final_norm": _cast(np.asarray(sd[prefix + "model.norm.weight"]), dt),
-        "lm_head": _cast(np.asarray(sd[prefix + "lm_head.weight"]).T, dt),
+        "lm_head": _cast(np.asarray(sd[prefix + "lm_head.weight"]), dt),
     }
 
 
@@ -110,10 +110,8 @@ def port_vit(sd: Mapping[str, np.ndarray], cfg: vit_lib.ViTConfig,
     n = cfg.depth
     dt = cfg.dtype
 
-    def stack(fmt: str, transpose: bool = True) -> Array:
+    def stack(fmt: str) -> Array:
         mats = [np.asarray(sd[prefix + fmt.format(i)], np.float32) for i in range(n)]
-        if transpose:
-            mats = [m.T for m in mats]
         return jnp.asarray(np.stack(mats)).astype(dt)
 
     patch_w = np.asarray(sd[prefix + "patch_embed.proj.weight"], np.float32)
@@ -124,18 +122,18 @@ def port_vit(sd: Mapping[str, np.ndarray], cfg: vit_lib.ViTConfig,
         },
         "pos_embed": _cast(np.asarray(sd[prefix + "pos_embed"]), dt),
         "blocks": {
-            "norm1_scale": stack("blocks.{}.norm1.weight", False),
-            "norm1_bias": stack("blocks.{}.norm1.bias", False),
+            "norm1_scale": stack("blocks.{}.norm1.weight"),
+            "norm1_bias": stack("blocks.{}.norm1.bias"),
             "wqkv": stack("blocks.{}.attn.qkv.weight"),
-            "bqkv": stack("blocks.{}.attn.qkv.bias", False),
+            "bqkv": stack("blocks.{}.attn.qkv.bias"),
             "wo": stack("blocks.{}.attn.proj.weight"),
-            "bo": stack("blocks.{}.attn.proj.bias", False),
-            "norm2_scale": stack("blocks.{}.norm2.weight", False),
-            "norm2_bias": stack("blocks.{}.norm2.bias", False),
+            "bo": stack("blocks.{}.attn.proj.bias"),
+            "norm2_scale": stack("blocks.{}.norm2.weight"),
+            "norm2_bias": stack("blocks.{}.norm2.bias"),
             "w1": stack("blocks.{}.mlp.fc1.weight"),
-            "b1": stack("blocks.{}.mlp.fc1.bias", False),
+            "b1": stack("blocks.{}.mlp.fc1.bias"),
             "w2": stack("blocks.{}.mlp.fc2.weight"),
-            "b2": stack("blocks.{}.mlp.fc2.bias", False),
+            "b2": stack("blocks.{}.mlp.fc2.bias"),
         },
         "final_norm": {
             "scale": _cast(np.asarray(sd[prefix + "norm.weight"]), dt),
@@ -265,7 +263,7 @@ def port_mlp_projector(sd: Mapping[str, np.ndarray], prefix: str, depth: int,
     for d in range(depth):
         idx = 0 if d == 0 else 2 * d
         layers.append({
-            "w": _cast(np.asarray(sd[f"{prefix}layers.{idx}.weight"]).T, dtype),
+            "w": _cast(np.asarray(sd[f"{prefix}layers.{idx}.weight"]), dtype),
             "b": _cast(np.asarray(sd[f"{prefix}layers.{idx}.bias"]), dtype),
         })
     return {"layers": layers}
@@ -274,11 +272,11 @@ def port_mlp_projector(sd: Mapping[str, np.ndarray], prefix: str, depth: int,
 def port_vision_head(sd: Mapping[str, np.ndarray], prefix: str, dtype) -> Dict:
     return {
         "proj": {
-            "w": _cast(np.asarray(sd[prefix + "output_mlp_projector.weight"]).T, dtype),
+            "w": _cast(np.asarray(sd[prefix + "output_mlp_projector.weight"]), dtype),
             "b": _cast(np.asarray(sd[prefix + "output_mlp_projector.bias"]), dtype),
         },
         "head": {
-            "w": _cast(np.asarray(sd[prefix + "vision_head.weight"]).T, dtype),
+            "w": _cast(np.asarray(sd[prefix + "vision_head.weight"]), dtype),
             "b": _cast(np.asarray(sd[prefix + "vision_head.bias"]), dtype),
         },
     }

@@ -52,22 +52,26 @@ def create_mesh(
 
 
 def llama_param_specs() -> Dict[str, Any]:
-    """PartitionSpecs for the stacked Llama tree (layer axis first)."""
+    """PartitionSpecs for the stacked Llama tree (layer axis first).
+
+    Projections are torch-layout ``[L, out, in]``: column-parallel matrices
+    (qkv/gate/up) shard the *out* dim (1); row-parallel (o/down) shard the
+    *in* dim (2)."""
     return {
         "embed": P(MODEL_AXIS, None),           # vocab-parallel embedding
         "layers": {
             "attn_norm": P(None, None),
-            "wq": P(None, None, MODEL_AXIS),    # column parallel (heads)
-            "wk": P(None, None, MODEL_AXIS),
-            "wv": P(None, None, MODEL_AXIS),
-            "wo": P(None, MODEL_AXIS, None),    # row parallel
+            "wq": P(None, MODEL_AXIS, None),    # column parallel (heads)
+            "wk": P(None, MODEL_AXIS, None),
+            "wv": P(None, MODEL_AXIS, None),
+            "wo": P(None, None, MODEL_AXIS),    # row parallel
             "mlp_norm": P(None, None),
-            "w_gate": P(None, None, MODEL_AXIS),
-            "w_up": P(None, None, MODEL_AXIS),
-            "w_down": P(None, MODEL_AXIS, None),
+            "w_gate": P(None, MODEL_AXIS, None),
+            "w_up": P(None, MODEL_AXIS, None),
+            "w_down": P(None, None, MODEL_AXIS),
         },
         "final_norm": P(None),
-        "lm_head": P(None, MODEL_AXIS),         # vocab-parallel head
+        "lm_head": P(MODEL_AXIS, None),         # vocab-parallel head
     }
 
 
@@ -93,7 +97,7 @@ def janus_param_specs(params: Dict) -> Dict[str, Any]:
     # gen_head's wide output layer is the other big matrix worth sharding
     specs["gen_head"] = {
         "proj": {"w": P(None, None), "b": P(None)},
-        "head": {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)},
+        "head": {"w": P(MODEL_AXIS, None), "b": P(MODEL_AXIS)},  # [out, in]
     }
     return specs
 

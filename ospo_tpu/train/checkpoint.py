@@ -114,17 +114,18 @@ def load_flat(path: str) -> Dict[str, np.ndarray]:
 def save_checkpoint(
     ckpt_dir: str,
     step: int,
-    lora_tree: Any,
+    trainable_tree: Any,
     lora_cfg: lora_lib.LoraConfig,
     opt_state: Any = None,
+    mode: str = "lora",
 ) -> str:
     path = os.path.join(ckpt_dir, f"step_{step:06d}")
     os.makedirs(path, exist_ok=True)
-    save_tree(os.path.join(path, "lora.npz"), lora_tree)
+    save_tree(os.path.join(path, "lora.npz"), trainable_tree)
     if opt_state is not None:
         save_tree(os.path.join(path, "opt.npz"), opt_state)
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"step": step, "lora": lora_cfg.to_dict(),
+        json.dump({"step": step, "mode": mode, "lora": lora_cfg.to_dict(),
                    "scaling": lora_cfg.scaling}, f, indent=2)
     return path
 
@@ -158,11 +159,35 @@ def load_checkpoint(path: str) -> Tuple[Any, lora_lib.LoraConfig, int, Any]:
     )
 
 
+def checkpoint_mode(path: str) -> str:
+    if not os.path.isfile(os.path.join(path, "meta.json")):
+        latest = latest_checkpoint(path)
+        if latest:
+            path = latest
+    try:
+        with open(os.path.join(path, "meta.json")) as f:
+            return json.load(f).get("mode", "lora")
+    except FileNotFoundError:
+        return "lora"
+
+
 def merge_lora_checkpoint(model, ckpt_path: str):
-    """Merge a trained adapter into the base model for generation
-    (round-2 self-improvement entry point)."""
+    """Fold a trained checkpoint into the base model for generation
+    (round-2 self-improvement entry point).  LoRA checkpoints merge the
+    adapters (peft merge_and_unload); full-finetune checkpoints replace
+    the trained submodules."""
+    import jax.numpy as jnp
+
     from ospo_tpu.models.janus import JanusModel
 
-    lora_tree, lora_cfg, _, _ = load_checkpoint(ckpt_path)
-    merged = lora_lib.merge_into_janus(model.params, lora_tree, lora_cfg.scaling)
+    tree, lora_cfg, _, _ = load_checkpoint(ckpt_path)
+    if checkpoint_mode(ckpt_path) == "full":
+        params = dict(model.params)
+        for name, sub in tree.items():
+            ref = params[name]
+            params[name] = jax.tree.map(
+                lambda saved, cur: jnp.asarray(saved).astype(cur.dtype), sub, ref
+            )
+        return JanusModel(model.cfg, params)
+    merged = lora_lib.merge_into_janus(model.params, tree, lora_cfg.scaling)
     return JanusModel(model.cfg, merged)

@@ -93,8 +93,8 @@ def merge(base_llama_params: Dict, lora_tree: Dict, scaling: float) -> Dict:
     layers = dict(base_llama_params["layers"])
     for name, ab in lora_tree.items():
         pkey = _PROJ_TO_PARAM[name]
-        w = layers[pkey]
-        delta = jnp.einsum("ndr,nrf->ndf", ab["a"], ab["b"]) * scaling
+        w = layers[pkey]  # torch layout [L, d_out, d_in]
+        delta = jnp.einsum("ndr,nrf->nfd", ab["a"], ab["b"]) * scaling
         layers[pkey] = (w.astype(jnp.float32) + delta).astype(w.dtype)
     out = dict(base_llama_params)
     out["layers"] = layers

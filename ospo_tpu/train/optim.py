@@ -107,7 +107,9 @@ def build_optimizer(
         chain.append(optax.clip_by_global_norm(grad_clip))
     chain.append(
         optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
-                    weight_decay=weight_decay)
+                    weight_decay=weight_decay,
+                    # fp32 moments even for bf16 trainables (full-finetune mode)
+                    mu_dtype="float32")
     )
     tx = optax.chain(*chain)
     if accumulation_steps and accumulation_steps > 1:

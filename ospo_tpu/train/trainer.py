@@ -108,19 +108,33 @@ class SimPOTrainer:
         exp_name = base.get("exp_name") or "ospo"
         self.log_dir = os.path.join(self.save_path, exp_name)
 
-        # trainable state
+        # trainable state — either LoRA adapters (use_peft) or the unfrozen
+        # submodules of the freeze matrix (full finetune, train.py:148-216)
         if self.use_peft:
-            self.lora_tree = lora_lib.init_lora(
+            self.trainable = lora_lib.init_lora(
                 model.cfg.language, self.lora_cfg, jax.random.PRNGKey(self.seed)
             )
         else:
-            raise NotImplementedError(
-                "full-finetune freeze matrix not wired yet; use use_peft=True"
+            freeze = dict(exp.get("freeze") or {})
+            self.trainable_keys = sorted(
+                k for k in model.params if not freeze.get(k, True)
             )
-        self.opt_state = self.tx.init(self.lora_tree)
+            if not self.trainable_keys:
+                raise ValueError("full-finetune mode with everything frozen")
+            self.trainable = {k: model.params[k] for k in self.trainable_keys}
+        self.opt_state = self.tx.init(self.trainable)
         self.global_step = 0
 
         self._writer = None
+
+    @property
+    def lora_tree(self):
+        return self.trainable if self.use_peft else None
+
+    @lora_tree.setter
+    def lora_tree(self, value):
+        assert self.use_peft
+        self.trainable = value
 
     # ------------------------------------------------------------------
     # preprocessing (host): variable-length text → bucketed arrays
@@ -145,19 +159,26 @@ class SimPOTrainer:
     # jitted step
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
-    def _step(self, lora_tree, opt_state, text_ids, text_mask,
+    def _step(self, trainable, opt_state, text_ids, text_mask,
               chosen_pixels, rejected_pixels):
-        params = self.model.params
         cfg = self.model.cfg
         b = text_ids.shape[0]
+
+        def assemble(trainable):
+            if self.use_peft:
+                return self.model.params, trainable
+            return {**self.model.params, **trainable}, None
 
         # frozen VQ tokenizer: images → codebook ids (train.py:253-258)
         pixels = jnp.concatenate([chosen_pixels, rejected_pixels], axis=0)
         img_ids = jax.lax.stop_gradient(
-            vqgan.encode_to_ids(params["gen_vision_model"], cfg.vq, pixels)
+            vqgan.encode_to_ids(
+                self.model.params["gen_vision_model"], cfg.vq, pixels
+            )
         )                                                       # [2B, 576]
 
-        def loss_fn(lora_tree):
+        def loss_fn(trainable):
+            params, lora_tree = assemble(trainable)
             text_embeds = janus_lib.embed_text(params, text_ids)
             text_embeds = text_embeds * text_mask[..., None]    # zero-pad embeds
             text_2b = jnp.concatenate([text_embeds, text_embeds], axis=0)
@@ -178,11 +199,17 @@ class SimPOTrainer:
             labels = jnp.concatenate([text_labels, img_ids.astype(jnp.int32)], axis=1)
             return loss_and_metrics(self.simpo_cfg, logits, labels)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora_tree)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        if not self.use_peft and "gen_vision_model" in grads:
+            # the VQ codebook (token embedding) stays frozen even when the
+            # VQ stack is unfrozen (train.py:161-168)
+            grads["gen_vision_model"]["codebook"] = jnp.zeros_like(
+                grads["gen_vision_model"]["codebook"]
+            )
         metrics["grad_norm"] = optax.global_norm(grads)
-        updates, opt_state = self.tx.update(grads, opt_state, lora_tree)
-        lora_tree = optax.apply_updates(lora_tree, updates)
-        return lora_tree, opt_state, metrics
+        updates, opt_state = self.tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, metrics
 
     # ------------------------------------------------------------------
     # host loop
@@ -196,9 +223,10 @@ class SimPOTrainer:
         return self._writer
 
     def resume(self, ckpt_path: str) -> None:
-        lora_tree, lora_cfg, step, opt_flat = ckpt_lib.load_checkpoint(ckpt_path)
-        self.lora_tree = jax.tree.map(jnp.asarray, lora_tree)
-        self.lora_cfg = lora_cfg
+        tree, lora_cfg, step, opt_flat = ckpt_lib.load_checkpoint(ckpt_path)
+        self.trainable = jax.tree.map(jnp.asarray, tree)
+        if self.use_peft:
+            self.lora_cfg = lora_cfg
         self.global_step = step
         if opt_flat is not None:
             # path-keyed restore into the freshly-initialised optax structure
@@ -207,8 +235,9 @@ class SimPOTrainer:
 
     def save(self) -> str:
         path = ckpt_lib.save_checkpoint(
-            self.log_dir, self.global_step, self.lora_tree, self.lora_cfg,
+            self.log_dir, self.global_step, self.trainable, self.lora_cfg,
             opt_state=self.opt_state,
+            mode="lora" if self.use_peft else "full",
         )
         print(f"# Saved checkpoint: {path}")
         return path
@@ -226,8 +255,8 @@ class SimPOTrainer:
                 if self.global_step >= self.max_steps:
                     break
                 batch = self.collate(batch_items)
-                self.lora_tree, self.opt_state, metrics = self._step(
-                    self.lora_tree, self.opt_state,
+                self.trainable, self.opt_state, metrics = self._step(
+                    self.trainable, self.opt_state,
                     jnp.asarray(batch["text_ids"]),
                     jnp.asarray(batch["text_mask"]),
                     jnp.asarray(batch["chosen_pixels"]),

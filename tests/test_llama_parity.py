@@ -39,32 +39,12 @@ def make_hf_model(cfg):
 
 
 def port_from_hf(model, cfg):
-    """Torch state_dict → stacked JAX param tree (the same mapping as
-    ospo_tpu.models.weights, kept inline so the test is self-contained)."""
+    """Torch state_dict → stacked JAX param tree via the production mapping
+    (ospo_tpu.models.weights.port_llama with an empty prefix)."""
+    from ospo_tpu.models import weights
+
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
-    n = cfg.num_layers
-
-    def stack(fmt, transpose=True):
-        mats = [sd[fmt.format(i)] for i in range(n)]
-        mats = [m.T if transpose else m for m in mats]
-        return jnp.asarray(np.stack(mats))
-
-    return {
-        "embed": jnp.asarray(sd["model.embed_tokens.weight"]),
-        "layers": {
-            "attn_norm": stack("model.layers.{}.input_layernorm.weight", False),
-            "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
-            "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
-            "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
-            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
-            "mlp_norm": stack("model.layers.{}.post_attention_layernorm.weight", False),
-            "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
-            "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
-            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
-        },
-        "final_norm": jnp.asarray(sd["model.norm.weight"]),
-        "lm_head": jnp.asarray(sd["lm_head.weight"].T),
-    }
+    return weights.port_llama(sd, cfg, prefix="")
 
 
 @pytest.fixture(scope="module")
