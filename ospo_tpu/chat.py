@@ -61,16 +61,60 @@ class ChatTemplate:
 _TEMPLATE = ChatTemplate()
 
 
+# ---------------------------------------------------------------------------
+# template registry
+# ---------------------------------------------------------------------------
+# The reference carries a multi-style registry (janus/utils/conversation.py:
+# 221-320); OSPO itself only ever uses "deepseek", but the other styles are
+# part of the model family's chat surface.
+
+
+def _render_deepseek(messages, system_prompt):
+    return _TEMPLATE.render(messages, system_prompt=system_prompt)
+
+
+def _render_llama2(messages, system_prompt):
+    seps = (" ", " </s><s>")
+    ret = f"[INST] <<SYS>>\n{system_prompt}\n<</SYS>>\n\n" if system_prompt else "[INST] "
+    tags = ("[INST]", "[/INST]")
+    for i, (role, message) in enumerate(messages):
+        tag = tags[i % 2]
+        if message:
+            if i == 0:
+                ret += message + " "
+            else:
+                ret += f"{tag} {message}{seps[i % 2]}"
+        else:
+            ret += tag
+    return ret
+
+
+def _render_plain(messages, system_prompt):
+    return "".join(m for _, m in messages if m)
+
+
+TEMPLATE_REGISTRY = {
+    "deepseek": _render_deepseek,
+    "llama-2": _render_llama2,
+    "plain": _render_plain,
+}
+
+
+def render_template(name: str, messages, system_prompt: str = "") -> str:
+    return TEMPLATE_REGISTRY[name](list(messages), system_prompt)
+
+
 def apply_sft_template(
     conversations: Sequence[Dict[str, str]],
     system_prompt: str = "",
+    sft_format: str = "deepseek",
 ) -> str:
     """Render a conversation (list of ``{"role", "content"}`` dicts) to the
     SFT prompt string.  Content is stripped and the final prompt stripped,
     matching ``apply_sft_template_for_multi_turn_prompts``
     (``janus/models/processing_vlm.py:137-177``)."""
     msgs = [(m["role"], m["content"].strip()) for m in conversations]
-    return _TEMPLATE.render(msgs, system_prompt=system_prompt).strip()
+    return render_template(sft_format, msgs, system_prompt).strip()
 
 
 def t2i_conversation(prompt: str) -> List[Dict[str, str]]:

@@ -153,8 +153,16 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
+_PROJ_INDEX = {
+    "q_proj": 0, "k_proj": 1, "v_proj": 2, "o_proj": 3,
+    "gate_proj": 4, "up_proj": 5, "down_proj": 6,
+}
+
+
 def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]],
-                name: str, scaling: float) -> jax.Array:
+                name: str, scaling: float,
+                dropout_rate: float = 0.0,
+                dropout_key: Optional[jax.Array] = None) -> jax.Array:
     """y = x @ wᵀ (+ scaling * (x @ A) @ B when a LoRA adapter exists).
 
     Weights are stored torch-layout ``[out_features, in_features]`` — the
@@ -167,8 +175,14 @@ def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]]
     y = jnp.einsum("btd,fd->btf", x, w)
     if lora is not None and name in lora:
         a, b = lora[name]["a"], lora[name]["b"]
+        x_l = x
+        if dropout_rate and dropout_key is not None:
+            # peft semantics: dropout on the adapter branch input only
+            k = jax.random.fold_in(dropout_key, _PROJ_INDEX[name])
+            keep = jax.random.bernoulli(k, 1.0 - dropout_rate, x.shape)
+            x_l = jnp.where(keep, x / (1.0 - dropout_rate), 0.0).astype(x.dtype)
         y = y + scaling * jnp.einsum(
-            "btr,rf->btf", jnp.einsum("btd,dr->btr", x, a.astype(x.dtype)),
+            "btr,rf->btf", jnp.einsum("btd,dr->btr", x_l, a.astype(x.dtype)),
             b.astype(x.dtype),
         )
     return y
@@ -202,6 +216,8 @@ def forward(
     kv_cache: Optional[Dict[str, jax.Array]] = None,
     lora: Optional[Params] = None,
     lora_scaling: float = 1.0,
+    lora_dropout: float = 0.0,
+    lora_dropout_rng: Optional[jax.Array] = None,
     remat: bool = False,
     self_attn: bool = False,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
@@ -225,28 +241,36 @@ def forward(
     cache_len = kv_cache["length"] if use_cache else None
     T = x.shape[1]
 
-    def qkv(x, lp, llora):
+    def qkv(x, lp, llora, lkey=None):
         h = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-        q = _maybe_lora(h, lp["wq"], llora, "q_proj", lora_scaling)
-        k = _maybe_lora(h, lp["wk"], llora, "k_proj", lora_scaling)
-        v = _maybe_lora(h, lp["wv"], llora, "v_proj", lora_scaling)
+        q = _maybe_lora(h, lp["wq"], llora, "q_proj", lora_scaling,
+                        lora_dropout, lkey)
+        k = _maybe_lora(h, lp["wk"], llora, "k_proj", lora_scaling,
+                        lora_dropout, lkey)
+        v = _maybe_lora(h, lp["wv"], llora, "v_proj", lora_scaling,
+                        lora_dropout, lkey)
         B = h.shape[0]
         q = q.reshape(B, T, cfg.num_heads, cfg.dim_head)
         k = k.reshape(B, T, cfg.kv_heads, cfg.dim_head)
         v = v.reshape(B, T, cfg.kv_heads, cfg.dim_head)
         return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
-    def finish_layer(x, lp, llora, q, k_att, v_att, q_offset, att_mask):
+    def finish_layer(x, lp, llora, q, k_att, v_att, q_offset, att_mask,
+                     lkey=None):
         B = x.shape[0]
         attn_out = attention(q, k_att, v_att, mask=att_mask,
                              q_offset=q_offset, causal=True)
         attn_out = attn_out.reshape(B, T, cfg.num_heads * cfg.dim_head)
-        x = x + _maybe_lora(attn_out, lp["wo"], llora, "o_proj", lora_scaling)
+        x = x + _maybe_lora(attn_out, lp["wo"], llora, "o_proj", lora_scaling,
+                            lora_dropout, lkey)
         h = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-        gate = _maybe_lora(h, lp["w_gate"], llora, "gate_proj", lora_scaling)
-        up = _maybe_lora(h, lp["w_up"], llora, "up_proj", lora_scaling)
+        gate = _maybe_lora(h, lp["w_gate"], llora, "gate_proj", lora_scaling,
+                           lora_dropout, lkey)
+        up = _maybe_lora(h, lp["w_up"], llora, "up_proj", lora_scaling,
+                         lora_dropout, lkey)
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
-        return x + _maybe_lora(act, lp["w_down"], llora, "down_proj", lora_scaling)
+        return x + _maybe_lora(act, lp["w_down"], llora, "down_proj",
+                               lora_scaling, lora_dropout, lkey)
 
     if use_cache:
         # Cache as scan *carry* (not ys): the dynamic_update_slice aliases
@@ -291,19 +315,27 @@ def forward(
         new_cache = {"k": kc, "v": vc, "length": kv_cache["length"] + T}
     else:
         def layer_body(x, layer_in):
-            lp, llora = layer_in
-            q, k, v = qkv(x, lp, llora)
-            x = finish_layer(x, lp, llora, q, k, v, 0, attention_mask)
+            lp, llora, lkey = layer_in
+            q, k, v = qkv(x, lp, llora, lkey)
+            x = finish_layer(x, lp, llora, q, k, v, 0, attention_mask, lkey)
             return x, None
 
         if remat:
             layer_body = jax.checkpoint(layer_body)
         if lora is None:
             x_final, _ = jax.lax.scan(
-                lambda c, t: layer_body(c, (t, None)), x, params["layers"]
+                lambda c, t: layer_body(c, (t, None, None)), x, params["layers"]
+            )
+        elif lora_dropout and lora_dropout_rng is not None:
+            layer_keys = jax.random.split(lora_dropout_rng, cfg.num_layers)
+            x_final, _ = jax.lax.scan(
+                layer_body, x, (params["layers"], lora, layer_keys)
             )
         else:
-            x_final, _ = jax.lax.scan(layer_body, x, (params["layers"], lora))
+            x_final, _ = jax.lax.scan(
+                lambda c, t: layer_body(c, (t[0], t[1], None)),
+                x, (params["layers"], lora),
+            )
         new_cache = None
 
     x_final = rms_norm(x_final, params["final_norm"], cfg.rms_norm_eps)

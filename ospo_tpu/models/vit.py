@@ -153,3 +153,54 @@ def forward(params: Params, cfg: ViTConfig, pixels: jax.Array) -> jax.Array:
     x, _ = jax.lax.scan(block, x, params["blocks"])
     fn = params["final_norm"]
     return layer_norm(x, fn["scale"], fn["bias"], eps)
+
+
+# ---------------------------------------------------------------------------
+# latent attention pool ("map" head)
+# ---------------------------------------------------------------------------
+# Janus runs the tower with ignore_head=True, so this head is unused on the
+# understanding path — but SigLIP checkpoints carry it (timm
+# AttentionPoolLatent, siglip_vit.py:415-422) and downstream users of the
+# framework may pool features; provided for capability completeness.
+
+
+def init_attn_pool(cfg: ViTConfig, key: jax.Array) -> Params:
+    d, hdim = cfg.width, cfg.mlp_hidden
+    keys = jax.random.split(key, 6)
+    std = 0.02
+
+    def norm(k, *shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(cfg.dtype)
+
+    return {
+        "latent": norm(keys[0], 1, 1, d),
+        "q": {"w": norm(keys[1], d, d), "b": jnp.zeros((d,), cfg.dtype)},
+        "kv": {"w": norm(keys[2], 2 * d, d), "b": jnp.zeros((2 * d,), cfg.dtype)},
+        "proj": {"w": norm(keys[3], d, d), "b": jnp.zeros((d,), cfg.dtype)},
+        "norm": {"scale": jnp.ones((d,), cfg.dtype),
+                 "bias": jnp.zeros((d,), cfg.dtype)},
+        "fc1": {"w": norm(keys[4], hdim, d), "b": jnp.zeros((hdim,), cfg.dtype)},
+        "fc2": {"w": norm(keys[5], d, hdim), "b": jnp.zeros((d,), cfg.dtype)},
+    }
+
+
+def attention_pool(params: Params, cfg: ViTConfig, tokens: jax.Array) -> jax.Array:
+    """Latent-query attention pooling: [B, N, D] → [B, D] (pool='token')."""
+    b, n, d = tokens.shape
+    h = cfg.heads
+    dh = d // h
+    q = jnp.einsum("bld,fd->blf", jnp.broadcast_to(params["latent"], (b, 1, d)),
+                   params["q"]["w"]) + params["q"]["b"]
+    kv = jnp.einsum("bnd,fd->bnf", tokens, params["kv"]["w"]) + params["kv"]["b"]
+    k, v = jnp.split(kv.reshape(b, n, 2, h, dh), 2, axis=2)
+    q = q.reshape(b, 1, h, dh)
+    att = attention(q, k.squeeze(2), v.squeeze(2), mask=None, causal=False)
+    x = att.reshape(b, 1, d)
+    x = jnp.einsum("bld,fd->blf", x, params["proj"]["w"]) + params["proj"]["b"]
+    hmid = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"],
+                      cfg.layer_norm_eps)
+    hmid = jnp.einsum("bld,fd->blf", hmid, params["fc1"]["w"]) + params["fc1"]["b"]
+    hmid = jax.nn.gelu(hmid.astype(jnp.float32), approximate=False).astype(x.dtype)
+    hmid = jnp.einsum("blf,df->bld", hmid, params["fc2"]["w"]) + params["fc2"]["b"]
+    x = x + hmid
+    return x[:, 0]

@@ -303,6 +303,49 @@ def quantize(params: Params, cfg: VQConfig, z: jax.Array):
     return z_q, ids.reshape(z.shape[:-1])
 
 
+def quantize_with_losses(params: Params, cfg: VQConfig, z: jax.Array,
+                         entropy_loss_ratio: float = 0.0):
+    """Training-mode quantization: straight-through z_q plus the VQ-GAN
+    losses (vq/codebook, β-weighted commitment, optional entropy) —
+    ``VectorQuantizer.forward`` training branch + ``compute_entropy_loss``
+    (vq_model.py:266-270, 450-463).  Enables from-scratch/continued VQ
+    tokenizer training, a capability the reference model class carries.
+    """
+    cb = normalized_codebook(params, cfg)
+    zn = z
+    if cfg.l2_norm_codebook:
+        zn = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
+    flat = zn.reshape(-1, zn.shape[-1])
+    dots = flat @ cb.T
+    d = jnp.sum(flat * flat, axis=-1, keepdims=True) - 2 * dots + jnp.sum(
+        cb * cb, axis=-1
+    )
+    ids = jnp.argmin(d, axis=-1)
+    z_q_raw = jnp.take(cb, ids, axis=0).reshape(zn.shape)
+
+    vq_loss = jnp.mean((z_q_raw - jax.lax.stop_gradient(zn)) ** 2)
+    commit_loss = cfg.commit_beta * jnp.mean(
+        (jax.lax.stop_gradient(z_q_raw) - zn) ** 2
+    )
+    losses = {"vq_loss": vq_loss, "commit_loss": commit_loss}
+    if entropy_loss_ratio:
+        losses["entropy_loss"] = entropy_loss_ratio * entropy_loss(-d)
+
+    z_q = zn + jax.lax.stop_gradient(z_q_raw - zn)
+    return z_q, ids.reshape(z.shape[:-1]), losses
+
+
+def entropy_loss(affinity: jax.Array, temperature: float = 0.01) -> jax.Array:
+    """Sample-entropy minus codebook-usage entropy (vq_model.py:450-463)."""
+    flat = affinity.reshape(-1, affinity.shape[-1]) / temperature
+    probs = jax.nn.softmax(flat, axis=-1)
+    log_probs = jax.nn.log_softmax(flat + 1e-5, axis=-1)
+    avg_probs = jnp.mean(probs, axis=0)
+    avg_entropy = -jnp.sum(avg_probs * jnp.log(avg_probs + 1e-5))
+    sample_entropy = -jnp.mean(jnp.sum(probs * log_probs, axis=-1))
+    return sample_entropy - avg_entropy
+
+
 def encode(params: Params, cfg: VQConfig, pixels: jax.Array):
     """pixels: [B, H, W, 3] in [-1, 1] → (z_q, ids [B, h, w])."""
     h = encoder_forward(params["encoder"], cfg, pixels.astype(jnp.float32))

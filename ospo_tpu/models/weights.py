@@ -139,6 +139,31 @@ def port_vit(sd: Mapping[str, np.ndarray], cfg: vit_lib.ViTConfig,
             "scale": _cast(np.asarray(sd[prefix + "norm.weight"]), dt),
             "bias": _cast(np.asarray(sd[prefix + "norm.bias"]), dt),
         },
+        **(
+            {"attn_pool": _port_attn_pool(sd, prefix + "attn_pool.", dt)}
+            if prefix + "attn_pool.latent" in sd else {}
+        ),
+    }
+
+
+def _port_attn_pool(sd: Mapping[str, np.ndarray], prefix: str, dt) -> Dict:
+    def lin(name):
+        return {
+            "w": _cast(np.asarray(sd[prefix + name + ".weight"]), dt),
+            "b": _cast(np.asarray(sd[prefix + name + ".bias"]), dt),
+        }
+
+    return {
+        "latent": _cast(np.asarray(sd[prefix + "latent"]), dt),
+        "q": lin("q"),
+        "kv": lin("kv"),
+        "proj": lin("proj"),
+        "norm": {
+            "scale": _cast(np.asarray(sd[prefix + "norm.weight"]), dt),
+            "bias": _cast(np.asarray(sd[prefix + "norm.bias"]), dt),
+        },
+        "fc1": lin("mlp.fc1"),
+        "fc2": lin("mlp.fc2"),
     }
 
 

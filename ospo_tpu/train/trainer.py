@@ -160,7 +160,7 @@ class SimPOTrainer:
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
     def _step(self, trainable, opt_state, text_ids, text_mask,
-              chosen_pixels, rejected_pixels):
+              chosen_pixels, rejected_pixels, rng=None):
         cfg = self.model.cfg
         b = text_ids.shape[0]
 
@@ -191,6 +191,8 @@ class SimPOTrainer:
             hidden, _ = llama_lib.forward(
                 params["language_model"], cfg.language, seq, attn, pos,
                 lora=lora_tree, lora_scaling=self.lora_cfg.scaling,
+                lora_dropout=self.lora_cfg.dropout if self.use_peft else 0.0,
+                lora_dropout_rng=rng,
                 remat=self.remat,
             )
             logits = janus_lib.gen_logits(params, hidden)        # [2B, T, 16384]
@@ -261,6 +263,9 @@ class SimPOTrainer:
                     jnp.asarray(batch["text_mask"]),
                     jnp.asarray(batch["chosen_pixels"]),
                     jnp.asarray(batch["rejected_pixels"]),
+                    rng=jax.random.fold_in(
+                        jax.random.PRNGKey(self.seed), self.global_step
+                    ),
                 )
                 self.global_step += 1
                 samples += len(batch_items)
