@@ -95,8 +95,8 @@ def main() -> None:
         patch_size=model.cfg.vq.downsample_factor,
     )
 
-    # 7B on a 16GB v5e: params ~11.4GB, KV cache ~1.26GB per CFG pair
-    batches = [int(batch_env)] if batch_env else ([2, 1] if preset == "7b" else [4, 2, 1])
+    # 7B on a 16GB v5e: params ~11.4GB + ~1.26GB KV per CFG pair → B=4 max
+    batches = [int(batch_env)] if batch_env else [4, 2, 1]
     prompt = "A" * prompt_len  # byte tokenizer → prompt_len tokens
 
     value = None

@@ -152,13 +152,17 @@ class ImageGenEngine:
     # public API
     # ------------------------------------------------------------------
     def generate_tokens(self, prompts: Sequence[str], seed: int = 0) -> np.ndarray:
+        b_real = len(prompts)
+        # batch bucket (powers of two) so ragged final batches don't retrace
+        b_bucket = 1 << (b_real - 1).bit_length()
+        prompts = list(prompts) + [prompts[-1]] * (b_bucket - b_real)
         tokens, mask = self.build_cfg_batch(prompts)
         out = self._generate_tokens(
             self.model.params, jnp.asarray(tokens), jnp.asarray(mask),
             jax.random.PRNGKey(seed),
             jnp.float32(self.cfg_weight), jnp.float32(self.temperature),
         )
-        return np.asarray(out)
+        return np.asarray(out)[:b_real]
 
     def generate_images(self, prompts: Sequence[str], seed: int = 0) -> np.ndarray:
         """prompts (already T2I-formatted) → uint8 images [B, H, W, 3]."""

@@ -128,6 +128,7 @@ class TextGenEngine:
     def generate_ids(self, prompts: Sequence[str], seed: Optional[int] = None,
                      rng: Optional[jax.Array] = None) -> np.ndarray:
         """prompt strings → generated ids [B, max_new_tokens] (eos-filled)."""
+        b_real = len(prompts)
         input_ids, mask = self.processor.encode_batch_left_padded(prompts)
         t_bucket = _bucket(input_ids.shape[1])
         pad = t_bucket - input_ids.shape[1]
@@ -135,6 +136,14 @@ class TextGenEngine:
             input_ids = np.pad(input_ids, ((0, 0), (pad, 0)),
                                constant_values=self.processor.pad_id)
             mask = np.pad(mask, ((0, 0), (pad, 0)))
+        # batch bucket (powers of two): ragged final pipeline batches reuse
+        # the compiled program instead of retracing
+        b_bucket = 1 << (b_real - 1).bit_length()
+        if b_bucket != b_real:
+            reps = b_bucket - b_real
+            input_ids = np.concatenate(
+                [input_ids, np.repeat(input_ids[-1:], reps, 0)])
+            mask = np.concatenate([mask, np.repeat(mask[-1:], reps, 0)])
         if rng is None:
             rng = jax.random.PRNGKey(0 if seed is None else seed)
         out = self._generate(
@@ -143,7 +152,7 @@ class TextGenEngine:
             max_new=self.max_new_tokens, do_sample=self.do_sample,
             top_p=self.top_p,
         )
-        return np.asarray(out)
+        return np.asarray(out)[:b_real]
 
     def generate(self, prompts: Sequence[str], seed: Optional[int] = None,
                  rng: Optional[jax.Array] = None) -> List[str]:
