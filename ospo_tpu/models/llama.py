@@ -220,6 +220,7 @@ def forward(
     lora_dropout_rng: Optional[jax.Array] = None,
     remat: bool = False,
     self_attn: bool = False,
+    attn_impl: str = "auto",
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """Run the decoder trunk; returns final-norm hidden states.
 
@@ -259,7 +260,7 @@ def forward(
                      lkey=None):
         B = x.shape[0]
         attn_out = attention(q, k_att, v_att, mask=att_mask,
-                             q_offset=q_offset, causal=True)
+                             q_offset=q_offset, causal=True, impl=attn_impl)
         attn_out = attn_out.reshape(B, T, cfg.num_heads * cfg.dim_head)
         x = x + _maybe_lora(attn_out, lp["wo"], llora, "o_proj", lora_scaling,
                             lora_dropout, lkey)

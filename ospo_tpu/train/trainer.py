@@ -124,6 +124,11 @@ class SimPOTrainer:
             self.trainable = {k: model.params[k] for k in self.trainable_keys}
         self.opt_state = self.tx.init(self.trainable)
         self.global_step = 0
+        # training attention: XLA by default (at SimPO's ~640-token sequences
+        # it matches the flash kernel's speed); set experiment.attn_impl=flash
+        # for long-sequence runs where the O(T²) scores matrix pressures HBM —
+        # the flash kernel is fully differentiable (custom VJP)
+        self.attn_impl = exp.get("attn_impl", "xla")
 
         self._writer = None
 
@@ -194,6 +199,7 @@ class SimPOTrainer:
                 lora_dropout=self.lora_cfg.dropout if self.use_peft else 0.0,
                 lora_dropout_rng=rng,
                 remat=self.remat,
+                attn_impl=self.attn_impl,
             )
             logits = janus_lib.gen_logits(params, hidden)        # [2B, T, 16384]
 

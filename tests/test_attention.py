@@ -33,6 +33,41 @@ def test_flash_matches_xla(t, s_extra, causal):
     )
 
 
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_backward_matches_xla(causal):
+    """Custom-VJP flash gradients ≡ autodiff through the XLA reference."""
+    key = jax.random.PRNGKey(7)
+    b, t, h, d = 2, 160, 2, 128
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, t, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, t, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, t, h, d), jnp.float32)
+    mask = np.ones((b, t), np.int32)
+    mask[0, :9] = 0
+    mask = jnp.asarray(mask)
+    cotangent = jax.random.normal(kg, (b, t, h, d), jnp.float32)
+    # zero the cotangent on padded query rows (their outputs are garbage by
+    # construction in both impls, and defined differently)
+    cotangent = cotangent * mask[:, :, None, None]
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, mask=mask, causal=causal,
+                              blk_q=128, blk_k=128, interpret=True)
+        return jnp.sum(out * cotangent)
+
+    def loss_xla(q, k, v):
+        out = xla_attention(q, k, v, mask, q_offset=0, causal=causal)
+        return jnp.sum(out * cotangent)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), atol=3e-4, rtol=3e-4,
+            err_msg=f"d{name}",
+        )
+
+
 def test_fully_masked_rows_are_finite():
     b, t, h, d = 1, 128, 2, 128
     q = jnp.ones((b, t, h, d))
