@@ -72,8 +72,98 @@ def build_bench_model(preset: str):
     return janus_lib.JanusModel(cfg, params)
 
 
+def bench_train(preset: str) -> None:
+    """Secondary mode (OSPO_BENCH_MODE=train): SimPO samples/sec/chip —
+    the full jitted train step (VQ encode → 2B remat forward → SimPO →
+    LoRA AdamW) on synthetic 384px pairs."""
+    import dataclasses
+
+    import numpy as np
+
+    from ospo_tpu.config import Config
+    from ospo_tpu.image_processing import ImageProcessor
+    from ospo_tpu.models import janus as janus_lib
+    from ospo_tpu.processing import Processor
+    from ospo_tpu.tokenizer import ByteTokenizer
+    from ospo_tpu.train.trainer import SimPOTrainer
+
+    if preset == "7b":
+        cfg = janus_lib.JANUS_PRO_7B
+    elif preset == "1b":
+        cfg = janus_lib.JANUS_PRO_1B
+    else:
+        cfg = janus_lib.tiny_janus_config()
+    # the SimPO step never touches the understanding tower or lm_head —
+    # shrink them to reclaim HBM for the train batch
+    cfg = dataclasses.replace(
+        cfg, vision=dataclasses.replace(cfg.vision, layers=1, width=128)
+    )
+    model = janus_lib.JanusModel.init(cfg, seed=0)
+    model.params["language_model"]["lm_head"] = jnp.zeros((1, 1), cfg.dtype)
+
+    tok = ByteTokenizer(vocab_size=min(512, cfg.language.vocab_size))
+    proc = Processor(tok, ImageProcessor(image_size=cfg.gen_image_size),
+                     num_image_tokens=cfg.num_image_tokens)
+    config = Config.from_nested({
+        "base": {"save_path": "/tmp/ospo_bench_train", "exp_name": "bench"},
+        "use_peft": True,
+        "lora": {"lora_rank": 32, "lora_alpha": 64, "lora_dropout": 0.05},
+        "optimizer": {"init_lr": 4e-5, "scheduler_type": "constant"},
+        "experiment": {"seed": 0, "max_training_steps": 10,
+                       "gradient_checkpointing": True, "log_steps": 100},
+        "algo": {"beta": 10, "gamma_beta_ratio": 0.5, "loss_type": "sigmoid"},
+    })
+    trainer = SimPOTrainer(config, model, proc)
+
+    batch_env = os.environ.get("OSPO_BENCH_BATCH")
+    batches = [int(batch_env)] if batch_env else [2, 1]
+    s = cfg.gen_image_size
+    for b in batches:
+        try:
+            batch = {
+                "text_ids": jnp.ones((b, 32), jnp.int32),
+                "text_mask": jnp.ones((b, 32), jnp.float32),
+                "chosen_pixels": jnp.zeros((b, s, s, 3), jnp.float32),
+                "rejected_pixels": jnp.full((b, s, s, 3), 0.4, jnp.float32),
+            }
+            rng = jax.random.PRNGKey(0)
+            t0 = time.time()
+            tr, opt, m = trainer._step(trainer.trainable, trainer.opt_state,
+                                       **batch, rng=rng)
+            jax.block_until_ready(tr)
+            compile_s = time.time() - t0
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                tr, opt, m = trainer._step(tr, opt, **batch, rng=rng)
+                jax.block_until_ready(tr)
+                times.append(time.time() - t0)
+            dt = min(times)
+            print(f"# train preset={preset} batch={b} compile={compile_s:.1f}s "
+                  f"step={dt:.2f}s loss={float(m['loss']):.4f}",
+                  file=sys.stderr)
+            print(json.dumps({
+                "metric": "simpo-samples/sec/chip",
+                "value": round(b / dt, 3),
+                "unit": "samples/s",
+                "vs_baseline": 0.0,  # no reference number exists (BASELINE.md)
+                "batch": b,
+                "preset": preset,
+            }))
+            return
+        except Exception as e:
+            print(f"# train batch {b} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    print(json.dumps({"metric": "simpo-samples/sec/chip", "value": 0.0,
+                      "unit": "samples/s", "vs_baseline": 0.0,
+                      "error": "all batch sizes failed"}))
+
+
 def main() -> None:
     preset = os.environ.get("OSPO_BENCH_PRESET", "7b")
+    if os.environ.get("OSPO_BENCH_MODE") == "train":
+        bench_train(preset)
+        return
     n_tokens = int(os.environ.get("OSPO_BENCH_TOKENS", "576"))
     prompt_len = int(os.environ.get("OSPO_BENCH_PROMPT_LEN", "64"))
     batch_env = os.environ.get("OSPO_BENCH_BATCH")

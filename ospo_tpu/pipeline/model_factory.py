@@ -85,4 +85,14 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
         print(f"# Merging LoRA checkpoint {ckpt_path} into base weights.")
         model = merge_lora_checkpoint(model, ckpt_path)
 
+    # optional tensor parallelism: shard the weights over a (data, model)
+    # mesh; every downstream jit then runs GSPMD-sharded automatically
+    tp = int(config.get("tensor_parallel") or 1)
+    if tp > 1:
+        from ospo_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.create_mesh(model_parallel=tp)
+        print(f"# Sharding params over mesh {dict(mesh.shape)} (tp={tp}).")
+        model.params = mesh_lib.shard_janus_params(model.params, mesh)
+
     return model, tokenizer, processor

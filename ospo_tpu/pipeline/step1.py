@@ -103,7 +103,7 @@ def construct_prompt(object_elements: List[str], binding_elements,
             elif generate_type == "attribute2":
                 objs = random.sample(object_elements, 2)
                 pools = random.choices(binding_elements, k=2)
-                while True:
+                for _ in range(100):  # bounded retry (tiny pools can collide)
                     b1 = random.choice(pools[0])
                     b2 = random.choice(pools[1])
                     if b1 != b2:
