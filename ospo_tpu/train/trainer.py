@@ -122,6 +122,13 @@ class SimPOTrainer:
             if not self.trainable_keys:
                 raise ValueError("full-finetune mode with everything frozen")
             self.trainable = {k: model.params[k] for k in self.trainable_keys}
+            # frozen/trainable must be buffer-disjoint: the train step
+            # donates the trainable tree, so aliased base entries would be
+            # dead buffers on the next call
+            self.frozen_params = {
+                k: v for k, v in model.params.items()
+                if k not in self.trainable_keys
+            }
         self.opt_state = self.tx.init(self.trainable)
         self.global_step = 0
         # training attention: XLA by default (at SimPO's ~640-token sequences
@@ -164,22 +171,25 @@ class SimPOTrainer:
     # jitted step
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
-    def _step(self, trainable, opt_state, text_ids, text_mask,
-              chosen_pixels, rejected_pixels, rng=None):
+    def _jit_step(self, trainable, opt_state, frozen_params, text_ids,
+                  text_mask, chosen_pixels, rejected_pixels, rng=None):
+        """``frozen_params`` must be passed explicitly — closing over the
+        model tree would bake ~13GB of weights into the lowered program as
+        constants.  It is buffer-disjoint from ``trainable`` (which is
+        donated)."""
         cfg = self.model.cfg
         b = text_ids.shape[0]
 
         def assemble(trainable):
             if self.use_peft:
-                return self.model.params, trainable
-            return {**self.model.params, **trainable}, None
+                return frozen_params, trainable
+            return {**frozen_params, **trainable}, None
 
         # frozen VQ tokenizer: images → codebook ids (train.py:253-258)
+        vq_params, _ = assemble(jax.lax.stop_gradient(trainable))
         pixels = jnp.concatenate([chosen_pixels, rejected_pixels], axis=0)
         img_ids = jax.lax.stop_gradient(
-            vqgan.encode_to_ids(
-                self.model.params["gen_vision_model"], cfg.vq, pixels
-            )
+            vqgan.encode_to_ids(vq_params["gen_vision_model"], cfg.vq, pixels)
         )                                                       # [2B, 576]
 
         def loss_fn(trainable):
@@ -218,6 +228,13 @@ class SimPOTrainer:
         updates, opt_state = self.tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, metrics
+
+    def _step(self, trainable, opt_state, text_ids, text_mask,
+              chosen_pixels, rejected_pixels, rng=None):
+        frozen = self.model.params if self.use_peft else self.frozen_params
+        return self._jit_step(trainable, opt_state, frozen,
+                              text_ids, text_mask, chosen_pixels,
+                              rejected_pixels, rng=rng)
 
     # ------------------------------------------------------------------
     # host loop
