@@ -51,7 +51,10 @@ def build_model(config) -> janus_lib.JanusModel:
         return janus_lib.JanusModel.from_pretrained(model_path)
 
     preset = (config.get("model_preset") or "tiny") if hasattr(config, "get") else "tiny"
-    seed = int(config.get("seed") or 42) if hasattr(config, "get") else 42
+    seed = config.get("seed") if hasattr(config, "get") else 42
+    if isinstance(seed, (list, tuple)):  # inference configs carry seed lists
+        seed = seed[0] if seed else 42
+    seed = int(seed or 42)
     if preset in PRESETS:
         print(f"# No checkpoint at model_path — random-init preset '{preset}'.")
         cfg = PRESETS[preset]
