@@ -69,6 +69,19 @@ def build_bench_model(preset: str):
         }
 
     params = jax.jit(init)(jax.random.PRNGKey(0))
+    if os.environ.get("OSPO_BENCH_QUANT") == "int8":
+        from ospo_tpu.ops import quant
+
+        def quantize(p):
+            gh = {blk: {**p["gen_head"][blk],
+                        "w": quant.quantize_matrix(p["gen_head"][blk]["w"])}
+                  for blk in ("proj", "head")}
+            return {**p,
+                    "language_model": quant.quantize_llama_params(p["language_model"]),
+                    "gen_head": gh}
+
+        params = jax.jit(quantize)(params)
+        print("# int8 weight quantization enabled", file=sys.stderr)
     return janus_lib.JanusModel(cfg, params)
 
 
@@ -118,25 +131,32 @@ def bench_train(preset: str) -> None:
     batch_env = os.environ.get("OSPO_BENCH_BATCH")
     batches = [int(batch_env)] if batch_env else [2, 1]
     s = cfg.gen_image_size
+    key = jax.random.PRNGKey(5)
     for b in batches:
         try:
-            batch = {
-                "text_ids": jnp.ones((b, 32), jnp.int32),
-                "text_mask": jnp.ones((b, 32), jnp.float32),
-                "chosen_pixels": jnp.zeros((b, s, s, 3), jnp.float32),
-                "rejected_pixels": jnp.full((b, s, s, 3), 0.4, jnp.float32),
-            }
-            rng = jax.random.PRNGKey(0)
+            def make_batch(i):
+                # fresh random pixels per step: identical inputs can be
+                # memoized by remote executors and report fake timings
+                k = jax.random.fold_in(key, i)
+                return {
+                    "text_ids": jnp.ones((b, 32), jnp.int32),
+                    "text_mask": jnp.ones((b, 32), jnp.float32),
+                    "chosen_pixels": jax.random.uniform(k, (b, s, s, 3)) * 2 - 1,
+                    "rejected_pixels": jax.random.uniform(
+                        jax.random.fold_in(k, 1), (b, s, s, 3)) * 2 - 1,
+                }
+
             t0 = time.time()
             tr, opt, m = trainer._step(trainer.trainable, trainer.opt_state,
-                                       **batch, rng=rng)
+                                       **make_batch(0), rng=key)
             jax.block_until_ready(tr)
             compile_s = time.time() - t0
             times = []
-            for _ in range(3):
+            for i in range(1, 4):
                 t0 = time.time()
-                tr, opt, m = trainer._step(tr, opt, **batch, rng=rng)
-                jax.block_until_ready(tr)
+                tr, opt, m = trainer._step(tr, opt, **make_batch(i),
+                                           rng=jax.random.fold_in(key, i))
+                float(m["loss"])  # full sync
                 times.append(time.time() - t0)
             dt = min(times)
             print(f"# train preset={preset} batch={b} compile={compile_s:.1f}s "

@@ -172,7 +172,11 @@ def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]]
     checkpoint porting transpose-free.  ``lora`` holds per-projection
     stacked A [d_in, r] / B [r, d_out] for the current layer.
     """
-    y = jnp.einsum("btd,fd->btf", x, w)
+    if isinstance(w, dict):  # weight-only int8 ({"q", "s"}, ops/quant.py)
+        y = jnp.einsum("btd,fd->btf", x, w["q"].astype(x.dtype))
+        y = y * w["s"].astype(x.dtype)
+    else:
+        y = jnp.einsum("btd,fd->btf", x, w)
     if lora is not None and name in lora:
         a, b = lora[name]["a"], lora[name]["b"]
         x_l = x

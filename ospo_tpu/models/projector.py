@@ -27,7 +27,13 @@ def _linear_init(key, cin, cout, dtype):
 
 
 def _linear(p: Params, x: jax.Array) -> jax.Array:
-    return jnp.einsum("...d,fd->...f", x, p["w"]) + p["b"]
+    w = p["w"]
+    if isinstance(w, dict):  # weight-only int8 ({"q", "s"}, ops/quant.py)
+        y = jnp.einsum("...d,fd->...f", x, w["q"].astype(x.dtype))
+        y = y * w["s"].astype(x.dtype)
+    else:
+        y = jnp.einsum("...d,fd->...f", x, w)
+    return y + p["b"]
 
 
 def _gelu(x: jax.Array) -> jax.Array:

@@ -1,0 +1,75 @@
+"""Weight-only int8 quantization (W8A16) for the decode path.
+
+The 7B CFG decode is HBM-bandwidth-bound on weight reads (~11.4GB/step in
+bf16).  Per-output-channel symmetric int8 halves that traffic and HBM
+footprint — XLA fuses the ``int8 → bf16`` convert into the matmul read, so
+no dequantized copy is materialised.
+
+Representation: a quantized matrix is a dict ``{"q": int8 [..., F, D],
+"s": f32 [..., F]}`` (row scales over the *output* dim, matching the
+torch-layout [out, in] convention).  ``llama._maybe_lora`` consumes either
+a plain array or this dict, so quantized and bf16 weights share one
+forward implementation (and the stacked-layer scan just works).
+
+Enable via ``quantize: int8`` in step configs / ``OSPO_BENCH_QUANT=int8``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_matrix(w: jax.Array) -> Dict[str, jax.Array]:
+    """[..., F, D] → {q: int8, s: f32 [..., F]} per-output-row symmetric."""
+    wf = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(wf / s[..., None]), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+def dequantize_matrix(qw: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
+    return (qw["q"].astype(jnp.float32) * qw["s"][..., None]).astype(dtype)
+
+
+def quantized_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
+    """y = x @ Wᵀ with W stored int8: einsum over int8 (converted in-read),
+    then the per-row scale."""
+    y = jnp.einsum("btd,fd->btf", x, qw["q"].astype(x.dtype))
+    return y * qw["s"].astype(x.dtype)
+
+
+def quantize_llama_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize the stacked layer projections (embed/norms/lm_head stay
+    bf16 — the embedding is a lookup, not a matmul read)."""
+    layers = dict(params["layers"])
+    for name in QUANTIZABLE:
+        layers[name] = quantize_matrix(layers[name])
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+def quantize_janus_params(params: Dict[str, Any],
+                          quantize_gen_head: bool = True) -> Dict[str, Any]:
+    out = dict(params)
+    out["language_model"] = quantize_llama_params(params["language_model"])
+    if quantize_gen_head:
+        from copy import deepcopy
+
+        gh = {k: dict(v) for k, v in params["gen_head"].items()}
+        for blk in ("proj", "head"):
+            gh[blk]["w"] = quantize_matrix(gh[blk]["w"])
+        out["gen_head"] = gh
+    return out
+
+
+def hbm_bytes(tree) -> int:
+    return sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(tree)
+    )
