@@ -80,7 +80,8 @@ def build_bench_model(preset: str):
                     "language_model": quant.quantize_llama_params(p["language_model"]),
                     "gen_head": gh}
 
-        params = jax.jit(quantize)(params)
+        # donate: bf16 source + int8 result never co-resident in HBM
+        params = jax.jit(quantize, donate_argnums=0)(params)
         print("# int8 weight quantization enabled", file=sys.stderr)
     return janus_lib.JanusModel(cfg, params)
 
@@ -203,6 +204,8 @@ def main() -> None:
         image_token_num=n_tokens,
         img_size=model.cfg.gen_image_size,
         patch_size=model.cfg.vq.downsample_factor,
+        batch_bucketing=False,  # measure the exact requested batch
+        kv_quant=os.environ.get("OSPO_BENCH_KV") == "int8",
     )
 
     # 7B on a 16GB v5e: params ~11.4GB + ~1.26GB KV per CFG pair → B=4 max

@@ -45,6 +45,8 @@ class ImageGenEngine:
         image_token_num: int = IMAGE_TOKEN_NUM_PER_IMAGE,
         img_size: int = IMG_SIZE,
         patch_size: int = PATCH_SIZE,
+        batch_bucketing: bool = True,
+        kv_quant: bool = False,
     ):
         self.model = model
         self.processor = processor
@@ -53,6 +55,13 @@ class ImageGenEngine:
         self.image_token_num = image_token_num
         self.img_size = img_size
         self.patch_size = patch_size
+        # pad ragged batches up to powers of two (pipeline-friendly: no
+        # retraces); disable when the exact batch size must be respected
+        # (e.g. at the HBM limit)
+        self.batch_bucketing = batch_bucketing
+        # int8 KV cache: halves the decode loop's dominant HBM stream at
+        # large batch (cache reads exceed weight reads past ~4 CFG pairs)
+        self.kv_quant = kv_quant
         self._decode_fn = jax.jit(self._decode_tokens)
 
     # ------------------------------------------------------------------
@@ -95,7 +104,7 @@ class ImageGenEngine:
 
         inputs_embeds = janus_lib.embed_text(params, tokens)
         positions = llama.positions_from_mask(attn_mask)
-        kv = llama.init_kv_cache(cfg.language, two_b, s_max)
+        kv = llama.init_kv_cache(cfg.language, two_b, s_max, quantized=self.kv_quant)
 
         # ---- prefill (flash attention over the prompt block) ----
         hidden, kv = janus_lib.language_forward(
@@ -154,7 +163,7 @@ class ImageGenEngine:
     def generate_tokens(self, prompts: Sequence[str], seed: int = 0) -> np.ndarray:
         b_real = len(prompts)
         # batch bucket (powers of two) so ragged final batches don't retrace
-        b_bucket = 1 << (b_real - 1).bit_length()
+        b_bucket = 1 << (b_real - 1).bit_length() if self.batch_bucketing else b_real
         prompts = list(prompts) + [prompts[-1]] * (b_bucket - b_real)
         tokens, mask = self.build_cfg_batch(prompts)
         out = self._generate_tokens(

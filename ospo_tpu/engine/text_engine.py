@@ -42,6 +42,7 @@ class TextGenEngine:
         temperature: float = 1.0,
         top_p: Optional[float] = None,
         do_sample: bool = True,
+        kv_quant: bool = False,
     ):
         self.model = model
         self.processor = processor
@@ -49,6 +50,7 @@ class TextGenEngine:
         self.temperature = float(temperature)
         self.top_p = top_p
         self.do_sample = bool(do_sample)
+        self.kv_quant = kv_quant
 
     @classmethod
     def from_generation_config(cls, model, processor, gen_cfg) -> "TextGenEngine":
@@ -78,7 +80,7 @@ class TextGenEngine:
 
         inputs_embeds = janus_lib.embed_text(params, tokens)
         positions = llama.positions_from_mask(attn_mask)
-        kv = llama.init_kv_cache(cfg.language, b, s_max)
+        kv = llama.init_kv_cache(cfg.language, b, s_max, quantized=self.kv_quant)
         hidden, kv = janus_lib.language_forward(
             params, cfg, inputs_embeds, attn_mask, positions,
             kv_cache=kv, self_attn=True,

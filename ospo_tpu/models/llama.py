@@ -197,13 +197,34 @@ def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]]
 # ---------------------------------------------------------------------------
 
 
-def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int) -> Dict[str, jax.Array]:
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
+                  quantized: bool = False) -> Dict[str, jax.Array]:
+    """Preallocated cache. ``quantized=True`` stores K/V as int8 with
+    per-(position, head) fp32 scales — halves the decode loop's dominant
+    HBM stream (cache reads) at large batch."""
     shape = (cfg.num_layers, batch, max_len, cfg.kv_heads, cfg.dim_head)
+    if quantized:
+        sshape = shape[:-1]
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "k_s": jnp.zeros(sshape, jnp.float32),
+            "v": jnp.zeros(shape, jnp.int8),
+            "v_s": jnp.zeros(sshape, jnp.float32),
+            "length": jnp.zeros((), jnp.int32),
+        }
     return {
         "k": jnp.zeros(shape, cfg.dtype),
         "v": jnp.zeros(shape, cfg.dtype),
         "length": jnp.zeros((), jnp.int32),
     }
+
+
+def _quantize_rows(x: jax.Array):
+    """[B, T, H, Dh] → (int8 values, fp32 scales [B, T, H])."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
 
 
 # ---------------------------------------------------------------------------
@@ -282,42 +303,70 @@ def forward(
         # the carried buffer in-place inside the while loop — no full-cache
         # copy per decode step (2×[L,B,S,H,Dh] would otherwise round-trip
         # HBM on every generated token).
+        quantized_cache = "k_s" in kv_cache  # int8 KV (init_kv_cache)
+
         def layer_body(carry, layer_in):
-            x, kc_all, vc_all = carry
+            x, cache = carry
             lp, llora, li = layer_in
             q, k, v = qkv(x, lp, llora)
-            kc_all = jax.lax.dynamic_update_slice(
-                kc_all, k.astype(kc_all.dtype)[None], (li, 0, cache_len, 0, 0)
-            )
-            vc_all = jax.lax.dynamic_update_slice(
-                vc_all, v.astype(vc_all.dtype)[None], (li, 0, cache_len, 0, 0)
-            )
+
+            if quantized_cache:
+                kq, ks = _quantize_rows(k)
+                vq, vs = _quantize_rows(v)
+                cache = {
+                    "k": jax.lax.dynamic_update_slice(
+                        cache["k"], kq[None], (li, 0, cache_len, 0, 0)),
+                    "k_s": jax.lax.dynamic_update_slice(
+                        cache["k_s"], ks[None], (li, 0, cache_len, 0)),
+                    "v": jax.lax.dynamic_update_slice(
+                        cache["v"], vq[None], (li, 0, cache_len, 0, 0)),
+                    "v_s": jax.lax.dynamic_update_slice(
+                        cache["v_s"], vs[None], (li, 0, cache_len, 0)),
+                }
+            else:
+                cache = {
+                    "k": jax.lax.dynamic_update_slice(
+                        cache["k"], k.astype(cache["k"].dtype)[None],
+                        (li, 0, cache_len, 0, 0)),
+                    "v": jax.lax.dynamic_update_slice(
+                        cache["v"], v.astype(cache["v"].dtype)[None],
+                        (li, 0, cache_len, 0, 0)),
+                }
+
             if self_attn:
                 k_att, v_att, q_offset = k, v, 0
             else:
-                k_att = jax.lax.dynamic_index_in_dim(kc_all, li, 0, keepdims=False)
-                v_att = jax.lax.dynamic_index_in_dim(vc_all, li, 0, keepdims=False)
+                def at(name):
+                    return jax.lax.dynamic_index_in_dim(
+                        cache[name], li, 0, keepdims=False)
+
+                if quantized_cache:
+                    k_att = {"q": at("k"), "s": at("k_s")}
+                    v_att = {"q": at("v"), "s": at("v_s")}
+                else:
+                    k_att, v_att = at("k"), at("v")
                 q_offset = cache_len
             x = finish_layer(x, lp, llora, q, k_att, v_att, q_offset,
                              attention_mask)
-            return (x, kc_all, vc_all), None
+            return (x, cache), None
 
         if remat:
             layer_body = jax.checkpoint(layer_body)
         layer_idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        cache0 = {k_: v_ for k_, v_ in kv_cache.items() if k_ != "length"}
         if lora is None:
-            (x_final, kc, vc), _ = jax.lax.scan(
+            (x_final, cache_out), _ = jax.lax.scan(
                 lambda c, t: layer_body(c, (t[0], None, t[1])),
-                (x, kv_cache["k"], kv_cache["v"]),
+                (x, cache0),
                 (params["layers"], layer_idx),
             )
         else:
-            (x_final, kc, vc), _ = jax.lax.scan(
+            (x_final, cache_out), _ = jax.lax.scan(
                 layer_body,
-                (x, kv_cache["k"], kv_cache["v"]),
+                (x, cache0),
                 (params["layers"], lora, layer_idx),
             )
-        new_cache = {"k": kc, "v": vc, "length": kv_cache["length"] + T}
+        new_cache = {**cache_out, "length": kv_cache["length"] + T}
     else:
         def layer_body(x, layer_in):
             lp, llora, lkey = layer_in

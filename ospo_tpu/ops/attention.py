@@ -38,21 +38,33 @@ def _repeat_kv(k: jax.Array, num_heads: int) -> jax.Array:
 
 def xla_attention(
     q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
+    k,
+    v,
     mask: Optional[jax.Array],
     q_offset,
     causal: bool = True,
 ) -> jax.Array:
+    """k / v may be plain arrays or int8-quantized dicts
+    ``{"q": int8 [B,S,KVH,Dh], "s": f32 [B,S,KVH]}`` (quantized KV cache) —
+    the scales fold into the score matrix / probability matrix, so the
+    int8 payload is converted in-read with no dequantised copy."""
     B, T, H, Dh = q.shape
-    S = k.shape[1]
-    k = _repeat_kv(k, H)
-    v = _repeat_kv(v, H)
+    k_vals, k_scale = (k["q"], k["s"]) if isinstance(k, dict) else (k, None)
+    v_vals, v_scale = (v["q"], v["s"]) if isinstance(v, dict) else (v, None)
+    S = k_vals.shape[1]
+    k_vals = _repeat_kv(k_vals, H)
+    v_vals = _repeat_kv(v_vals, H)
+    if k_scale is not None:
+        k_scale = _repeat_kv(k_scale[..., None], H)[..., 0]   # [B,S,H]
+    if v_scale is not None:
+        v_scale = _repeat_kv(v_scale[..., None], H)[..., 0]
     scale = Dh ** -0.5
 
     scores = jnp.einsum(
-        "bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32)
+        "bthd,bshd->bhts", q.astype(jnp.float32), k_vals.astype(jnp.float32)
     ) * scale
+    if k_scale is not None:
+        scores = scores * jnp.transpose(k_scale, (0, 2, 1))[:, :, None, :]
 
     allowed = jnp.ones((B, 1, T, S), dtype=bool)
     if mask is not None:
@@ -64,7 +76,9 @@ def xla_attention(
 
     scores = jnp.where(allowed, scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
+    if v_scale is not None:
+        probs = probs * jnp.transpose(v_scale, (0, 2, 1))[:, :, None, :]
+    out = jnp.einsum("bhts,bshd->bthd", probs, v_vals.astype(jnp.float32))
     return out.astype(q.dtype)
 
 
@@ -83,7 +97,7 @@ def attention(
     that is where the O(T²) score matrix would otherwise round-trip HBM.
     Decode steps (T == 1) stay on the XLA path.
     """
-    if impl == "xla":
+    if impl == "xla" or isinstance(k, dict):  # quantized KV → XLA path
         return xla_attention(q, k, v, mask, q_offset, causal)
 
     use_flash = (

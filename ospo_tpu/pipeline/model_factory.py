@@ -88,6 +88,20 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
         print(f"# Merging LoRA checkpoint {ckpt_path} into base weights.")
         model = merge_lora_checkpoint(model, ckpt_path)
 
+    # optional weight-only int8 (decode-path HBM relief; generation steps
+    # only — training consumes full-precision weights)
+    if (config.get("quantize") or "").lower() == "int8":
+        import jax as _jax
+
+        from ospo_tpu.ops import quant
+
+        print("# Quantizing language-model weights to int8 (W8A16).")
+        model.params = _jax.jit(
+            lambda p: {**p, "language_model": quant.quantize_llama_params(
+                p["language_model"])},
+            donate_argnums=0,  # avoid bf16+int8 double-residency
+        )(model.params)
+
     # optional tensor parallelism: shard the weights over a (data, model)
     # mesh; every downstream jit then runs GSPMD-sharded automatically
     tp = int(config.get("tensor_parallel") or 1)
