@@ -47,11 +47,19 @@ def build_bench_model(preset: str):
     else:
         cfg = janus_lib.tiny_janus_config()
 
+    quant_mode = os.environ.get("OSPO_BENCH_QUANT") == "int8"
+
     def init(key):
         k_lm, k_gal, k_gh, k_ge = jax.random.split(key, 4)
         lm = llama_lib.init_params(cfg.language, k_lm)
         # lm_head is unused on the image-decode path — stub it (~0.8GB HBM)
         lm["lm_head"] = jnp.zeros((1, 1), cfg.language.dtype)
+        if quant_mode:
+            # fused init+quantize: the bf16 stacks never co-reside with the
+            # int8 output (XLA frees each as it is consumed)
+            from ospo_tpu.ops import quant
+
+            lm = quant.quantize_llama_params(lm)
         return {
             "language_model": lm,
             "gen_aligner": projector.init_mlp_projector(
@@ -69,19 +77,7 @@ def build_bench_model(preset: str):
         }
 
     params = jax.jit(init)(jax.random.PRNGKey(0))
-    if os.environ.get("OSPO_BENCH_QUANT") == "int8":
-        from ospo_tpu.ops import quant
-
-        def quantize(p):
-            gh = {blk: {**p["gen_head"][blk],
-                        "w": quant.quantize_matrix(p["gen_head"][blk]["w"])}
-                  for blk in ("proj", "head")}
-            return {**p,
-                    "language_model": quant.quantize_llama_params(p["language_model"]),
-                    "gen_head": gh}
-
-        # donate: bf16 source + int8 result never co-resident in HBM
-        params = jax.jit(quantize, donate_argnums=0)(params)
+    if quant_mode:
         print("# int8 weight quantization enabled", file=sys.stderr)
     return janus_lib.JanusModel(cfg, params)
 

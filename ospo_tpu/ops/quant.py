@@ -25,11 +25,16 @@ QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
 def quantize_matrix(w: jax.Array) -> Dict[str, jax.Array]:
-    """[..., F, D] → {q: int8, s: f32 [..., F]} per-output-row symmetric."""
-    wf = w.astype(jnp.float32)
-    s = jnp.max(jnp.abs(wf), axis=-1) / 127.0
+    """[..., F, D] → {q: int8, s: f32 [..., F]} per-output-row symmetric.
+
+    Arithmetic stays in the input dtype (bf16) except the per-row scale —
+    a full fp32 copy of a stacked 7B matrix would be a multi-GB HBM temp.
+    """
+    s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1) / 127.0
     s = jnp.maximum(s, 1e-12)
-    q = jnp.clip(jnp.round(wf / s[..., None]), -127, 127).astype(jnp.int8)
+    q = jnp.clip(
+        jnp.round(w / s[..., None].astype(w.dtype)), -127, 127
+    ).astype(jnp.int8)
     return {"q": q, "s": s}
 
 
