@@ -176,10 +176,75 @@ def bench_train(preset: str) -> None:
                       "error": "all batch sizes failed"}))
 
 
+def bench_score(preset: str) -> None:
+    """Secondary mode (OSPO_BENCH_MODE=score): step-4b self-VQA scoring
+    throughput — multimodal forwards (SigLIP + splice + trunk) per second,
+    from which preference pairs/hour follows (6 images × ~Q questions per
+    pair)."""
+    import dataclasses
+
+    import numpy as np
+    from PIL import Image
+
+    from ospo_tpu.engine.scoring import ScoringEngine
+    from ospo_tpu.image_processing import ImageProcessor
+    from ospo_tpu.models import janus as janus_lib
+    from ospo_tpu.processing import Processor
+    from ospo_tpu.tokenizer import ByteTokenizer
+
+    if preset == "7b":
+        cfg = janus_lib.JANUS_PRO_7B
+    elif preset == "1b":
+        cfg = janus_lib.JANUS_PRO_1B
+    else:
+        cfg = janus_lib.tiny_janus_config()
+    model = janus_lib.JanusModel.init(cfg, seed=0)
+
+    tok = ByteTokenizer(vocab_size=min(512, cfg.language.vocab_size))
+    proc = Processor(tok, ImageProcessor(image_size=cfg.vision.image_size),
+                     num_image_tokens=cfg.num_image_tokens)
+    engine = ScoringEngine(model, proc)
+    side = cfg.vision.image_size
+    rng = np.random.default_rng(0)
+    questions = ["Is there a black umbrella?", "Is the umbrella open?",
+                 "Does this image accurately represent the prompt?"]
+
+    def img(i):
+        return Image.fromarray(
+            (rng.random((side, side, 3)) * 255).astype(np.uint8))
+
+    t0 = time.time()
+    engine.score_image(img(0), questions)  # compile
+    compile_s = time.time() - t0
+    times = []
+    for i in range(1, 4):
+        t0 = time.time()
+        engine.score_image(img(i), questions)
+        times.append(time.time() - t0)
+    dt = min(times)
+    imgs_per_sec = 1.0 / dt
+    # one preference pair = 6 scored images (3 base + 3 negative)
+    pairs_per_hour = imgs_per_sec / 6 * 3600
+    print(f"# score preset={preset} compile={compile_s:.1f}s img={dt:.2f}s",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "pref-pairs/hour/chip",
+        "value": round(pairs_per_hour, 1),
+        "unit": "pairs/h",
+        "vs_baseline": 0.0,  # no reference number exists (BASELINE.md)
+        "images_per_sec": round(imgs_per_sec, 3),
+        "preset": preset,
+    }))
+
+
 def main() -> None:
     preset = os.environ.get("OSPO_BENCH_PRESET", "7b")
-    if os.environ.get("OSPO_BENCH_MODE") == "train":
+    mode = os.environ.get("OSPO_BENCH_MODE")
+    if mode == "train":
         bench_train(preset)
+        return
+    if mode == "score":
+        bench_score(preset)
         return
     n_tokens = int(os.environ.get("OSPO_BENCH_TOKENS", "576"))
     prompt_len = int(os.environ.get("OSPO_BENCH_PROMPT_LEN", "64"))
@@ -204,8 +269,11 @@ def main() -> None:
         kv_quant=os.environ.get("OSPO_BENCH_KV") == "int8",
     )
 
-    # 7B on a 16GB v5e: params ~11.4GB + ~1.26GB KV per CFG pair → B=4 max
-    batches = [int(batch_env)] if batch_env else [4, 2, 1]
+    # 16GB v5e, 7B: int8 weights ~5.9GB + int8 KV ~0.63GB/CFG pair → B=8;
+    # bf16 (OSPO_BENCH_QUANT=bf16): ~11.4GB + 1.26GB/pair → B=4 max
+    quantized = os.environ.get("OSPO_BENCH_QUANT") == "int8"
+    default_batches = [8, 4, 2, 1] if quantized else [4, 2, 1]
+    batches = [int(batch_env)] if batch_env else default_batches
     prompt = "A" * prompt_len  # byte tokenizer → prompt_len tokens
 
     value = None
