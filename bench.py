@@ -249,6 +249,11 @@ def main() -> None:
     n_tokens = int(os.environ.get("OSPO_BENCH_TOKENS", "576"))
     prompt_len = int(os.environ.get("OSPO_BENCH_PROMPT_LEN", "64"))
     batch_env = os.environ.get("OSPO_BENCH_BATCH")
+    # default = the production serving configuration: weight-only int8 +
+    # int8 KV cache (set OSPO_BENCH_QUANT/OSPO_BENCH_KV=bf16 for full
+    # precision; quality bounded by tests/test_quant.py / test_kv_quant.py)
+    os.environ.setdefault("OSPO_BENCH_QUANT", "int8")
+    os.environ.setdefault("OSPO_BENCH_KV", "int8")
 
     from ospo_tpu.engine.image_engine import ImageGenEngine
     from ospo_tpu.image_processing import ImageProcessor
