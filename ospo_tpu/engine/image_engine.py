@@ -47,6 +47,7 @@ class ImageGenEngine:
         patch_size: int = PATCH_SIZE,
         batch_bucketing: bool = True,
         kv_quant: bool = False,
+        decode_segments: int = 4,
     ):
         self.model = model
         self.processor = processor
@@ -62,6 +63,10 @@ class ImageGenEngine:
         # int8 KV cache: halves the decode loop's dominant HBM stream at
         # large batch (cache reads exceed weight reads past ~4 CFG pairs)
         self.kv_quant = kv_quant
+        # segmented decode: the 576-step loop runs as N scans with growing
+        # attention windows, so early tokens only stream the populated
+        # cache prefix (≈34% less KV traffic at 4 segments)
+        self.decode_segments = max(1, int(decode_segments))
         self._decode_fn = jax.jit(self._decode_tokens)
 
     # ------------------------------------------------------------------
@@ -136,19 +141,38 @@ class ImageGenEngine:
         # first token comes from the prefill's last hidden state
         tok0, _, embeds, pos = sample_step(hidden[:, -1], kv, 0, keys[0])
 
-        def body(carry, key_step):
-            kv, embeds, pos = carry
-            key, step = key_step
-            hidden, kv = janus_lib.language_forward(
-                params, cfg, embeds, window_mask, pos, kv_cache=kv,
-            )
-            next_tok, _, embeds, pos = sample_step(hidden[:, -1], kv, step, key)
-            return (kv, embeds, pos), next_tok
+        def make_body(window):
+            def body(carry, key_step):
+                kv, embeds, pos = carry
+                key, step = key_step
+                hidden, kv = janus_lib.language_forward(
+                    params, cfg, embeds, window_mask[:, :window], pos,
+                    kv_cache=kv, attn_window=window,
+                )
+                next_tok, _, embeds, pos = sample_step(
+                    hidden[:, -1], kv, step, key)
+                return (kv, embeds, pos), next_tok
 
-        steps = jnp.arange(1, n_img, dtype=jnp.int32)
-        (_, _, _), rest = jax.lax.scan(body, (kv, embeds, pos), (keys[1:], steps))
-        # rest: [n_img-1, B] → [B, n_img]
-        return jnp.concatenate([tok0[:, None], rest.T], axis=1)
+            return body
+
+        # segmented decode with growing cache windows (see __init__)
+        n_seg = min(self.decode_segments, max(1, (n_img - 1) // 64))
+        bounds = [1 + (n_img - 1) * (s + 1) // n_seg for s in range(n_seg)]
+        carry = (kv, embeds, pos)
+        outs = [tok0[:, None]]
+        start = 1
+        for end in bounds:
+            if end <= start:
+                continue
+            # window covers every row written during this segment (+64 align)
+            window = min(s_max, ((t_prompt + end + 63) // 64) * 64)
+            carry, seg_toks = jax.lax.scan(
+                make_body(window), carry,
+                (keys[start:end], jnp.arange(start, end, dtype=jnp.int32)),
+            )
+            outs.append(seg_toks.T)
+            start = end
+        return jnp.concatenate(outs, axis=1)
 
     def _decode_tokens(self, params, gen_tokens):
         latent = self.img_size // self.patch_size

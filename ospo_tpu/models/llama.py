@@ -246,6 +246,7 @@ def forward(
     remat: bool = False,
     self_attn: bool = False,
     attn_impl: str = "auto",
+    attn_window: Optional[int] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """Run the decoder trunk; returns final-norm hidden states.
 
@@ -336,9 +337,16 @@ def forward(
             if self_attn:
                 k_att, v_att, q_offset = k, v, 0
             else:
+                # attn_window statically truncates the cache read to the
+                # prefix that can be populated — segmented decode loops use
+                # growing windows so early tokens don't stream the whole
+                # (mostly-unwritten) cache from HBM
+                W = attn_window
+
                 def at(name):
-                    return jax.lax.dynamic_index_in_dim(
+                    sl = jax.lax.dynamic_index_in_dim(
                         cache[name], li, 0, keepdims=False)
+                    return sl if W is None else sl[:, :W]
 
                 if quantized_cache:
                     k_att = {"q": at("k"), "s": at("k_s")}

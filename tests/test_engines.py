@@ -77,6 +77,31 @@ def test_image_engine_token_shapes(setup):
     assert not np.array_equal(toks, eng.generate_tokens(prompts, seed=1))
 
 
+def test_image_engine_segmented_decode_invariant(setup):
+    """Token output must be identical regardless of decode segmentation
+    (windows only truncate reads of unpopulated cache rows)."""
+    cfg, model, proc = setup
+    prompts = [t2i_prompt(proc, "A black umbrella")]
+    outs = []
+    for n_seg in (1, 4):
+        eng = ImageGenEngine(model, proc, image_token_num=130, img_size=16,
+                             patch_size=4, decode_segments=n_seg)
+        outs.append(eng.generate_tokens(prompts, seed=3))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_image_engine_kv_quant_close(setup):
+    """int8 KV decode must produce a valid token stream (distributional
+    check only — quantization perturbs sampling)."""
+    cfg, model, proc = setup
+    prompts = [t2i_prompt(proc, "A black umbrella")]
+    eng = ImageGenEngine(model, proc, image_token_num=16, img_size=16,
+                         patch_size=4, kv_quant=True)
+    toks = eng.generate_tokens(prompts, seed=0)
+    assert toks.shape == (1, 16)
+    assert int(toks.max()) < cfg.image_token_size
+
+
 def test_image_engine_cfg_batch_masking(setup):
     """Uncond rows must keep BOS + final token, pad-mask the middle, and
     share the attention mask with cond rows (image_generation.py:135-141)."""
