@@ -277,7 +277,7 @@ def main() -> None:
     # 16GB v5e, 7B: int8 weights ~5.9GB + int8 KV ~0.63GB/CFG pair → B=8;
     # bf16 (OSPO_BENCH_QUANT=bf16): ~11.4GB + 1.26GB/pair → B=4 max
     quantized = os.environ.get("OSPO_BENCH_QUANT") == "int8"
-    default_batches = [8, 4, 2, 1] if quantized else [4, 2, 1]
+    default_batches = [12, 8, 4, 1] if quantized else [4, 2, 1]
     batches = [int(batch_env)] if batch_env else default_batches
     prompt = "A" * prompt_len  # byte tokenizer → prompt_len tokens
 

@@ -47,7 +47,7 @@ class ImageGenEngine:
         patch_size: int = PATCH_SIZE,
         batch_bucketing: bool = True,
         kv_quant: bool = False,
-        decode_segments: int = 4,
+        decode_segments: int = 1,
     ):
         self.model = model
         self.processor = processor
@@ -63,9 +63,11 @@ class ImageGenEngine:
         # int8 KV cache: halves the decode loop's dominant HBM stream at
         # large batch (cache reads exceed weight reads past ~4 CFG pairs)
         self.kv_quant = kv_quant
-        # segmented decode: the 576-step loop runs as N scans with growing
-        # attention windows, so early tokens only stream the populated
-        # cache prefix (≈34% less KV traffic at 4 segments)
+        # segmented decode: the 576-step loop can run as N scans with
+        # growing attention windows. Measured on v5e: XLA does not fuse the
+        # prefix slice into the attention reads, so this currently does NOT
+        # reduce KV traffic (543.9 → 515.7 tok/s at B=12) — default 1; a
+        # Pallas decode-attention kernel is the real fix (round 2).
         self.decode_segments = max(1, int(decode_segments))
         self._decode_fn = jax.jit(self._decode_tokens)
 

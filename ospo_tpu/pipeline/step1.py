@@ -229,8 +229,15 @@ def main(config) -> None:
         os.path.exists(os.path.join(config.save_path, f)) for f in ELEMENT_FILES
     ):
         print("All elements and prompts are generated. Start combining all.")
-        combine_prompt(config)
-        print("(Step 1) Base prompt generation completed.")
+        try:
+            combine_prompt(config)
+            print("(Step 1) Base prompt generation completed.")
+        except Exception as e:  # element files may need curation first
+            import traceback
+
+            print(f"combine_prompt failed ({e}); element files are saved — "
+                  "fix quotas/elements and re-run any category to combine.")
+            traceback.print_exc()
 
 
 if __name__ == "__main__":
