@@ -272,6 +272,7 @@ def main() -> None:
         patch_size=model.cfg.vq.downsample_factor,
         batch_bucketing=False,  # measure the exact requested batch
         kv_quant=os.environ.get("OSPO_BENCH_KV") == "int8",
+        decode_kernel=os.environ.get("OSPO_BENCH_DECODE_KERNEL") == "1",
     )
 
     # 16GB v5e, 7B: int8 weights ~5.9GB + int8 KV ~0.63GB/CFG pair → B=8;

@@ -48,6 +48,7 @@ class ImageGenEngine:
         batch_bucketing: bool = True,
         kv_quant: bool = False,
         decode_segments: int = 1,
+        decode_kernel: bool = False,
     ):
         self.model = model
         self.processor = processor
@@ -69,6 +70,9 @@ class ImageGenEngine:
         # reduce KV traffic (543.9 → 515.7 tok/s at B=12) — default 1; a
         # Pallas decode-attention kernel is the real fix (round 2).
         self.decode_segments = max(1, int(decode_segments))
+        # Pallas decode-attention kernel: stream only the populated cache
+        # prefix per step (ops/decode_attention.py)
+        self.decode_kernel = decode_kernel
         self._decode_fn = jax.jit(self._decode_tokens)
 
     # ------------------------------------------------------------------
@@ -150,6 +154,7 @@ class ImageGenEngine:
                 hidden, kv = janus_lib.language_forward(
                     params, cfg, embeds, window_mask[:, :window], pos,
                     kv_cache=kv, attn_window=window,
+                    decode_kernel=self.decode_kernel,
                 )
                 next_tok, _, embeds, pos = sample_step(
                     hidden[:, -1], kv, step, key)

@@ -247,6 +247,7 @@ def forward(
     self_attn: bool = False,
     attn_impl: str = "auto",
     attn_window: Optional[int] = None,
+    decode_kernel: bool = False,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """Run the decoder trunk; returns final-norm hidden states.
 
@@ -282,11 +283,8 @@ def forward(
         v = v.reshape(B, T, cfg.kv_heads, cfg.dim_head)
         return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
-    def finish_layer(x, lp, llora, q, k_att, v_att, q_offset, att_mask,
-                     lkey=None):
+    def post_attention(x, lp, llora, attn_out, lkey=None):
         B = x.shape[0]
-        attn_out = attention(q, k_att, v_att, mask=att_mask,
-                             q_offset=q_offset, causal=True, impl=attn_impl)
         attn_out = attn_out.reshape(B, T, cfg.num_heads * cfg.dim_head)
         x = x + _maybe_lora(attn_out, lp["wo"], llora, "o_proj", lora_scaling,
                             lora_dropout, lkey)
@@ -298,6 +296,12 @@ def forward(
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
         return x + _maybe_lora(act, lp["w_down"], llora, "down_proj",
                                lora_scaling, lora_dropout, lkey)
+
+    def finish_layer(x, lp, llora, q, k_att, v_att, q_offset, att_mask,
+                     lkey=None):
+        attn_out = attention(q, k_att, v_att, mask=att_mask,
+                             q_offset=q_offset, causal=True, impl=attn_impl)
+        return post_attention(x, lp, llora, attn_out, lkey)
 
     if use_cache:
         # Cache as scan *carry* (not ys): the dynamic_update_slice aliases
@@ -335,7 +339,23 @@ def forward(
                 }
 
             if self_attn:
-                k_att, v_att, q_offset = k, v, 0
+                x = finish_layer(x, lp, llora, q, k, v, 0, attention_mask)
+            elif decode_kernel and T == 1:
+                # Pallas decode attention: DMAs only the populated cache
+                # prefix from HBM (the whole stacked cache is passed
+                # pointer-wise; see ops/decode_attention.py)
+                from ospo_tpu.ops.decode_attention import decode_attention
+
+                assert cfg.kv_heads == cfg.num_heads, (
+                    "decode_kernel currently supports MHA only"
+                )
+                attn_out = decode_attention(
+                    q, cache["k"], cache["v"], li, cache_len + T,
+                    attention_mask,
+                    k_scale=cache.get("k_s"), v_scale=cache.get("v_s"),
+                    interpret=jax.default_backend() != "tpu",
+                )
+                x = post_attention(x, lp, llora, attn_out)
             else:
                 # attn_window statically truncates the cache read to the
                 # prefix that can be populated — segmented decode loops use
@@ -353,9 +373,8 @@ def forward(
                     v_att = {"q": at("v"), "s": at("v_s")}
                 else:
                     k_att, v_att = at("k"), at("v")
-                q_offset = cache_len
-            x = finish_layer(x, lp, llora, q, k_att, v_att, q_offset,
-                             attention_mask)
+                x = finish_layer(x, lp, llora, q, k_att, v_att, cache_len,
+                                 attention_mask)
             return (x, cache), None
 
         if remat:
