@@ -204,7 +204,9 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
     HBM stream (cache reads) at large batch."""
     shape = (cfg.num_layers, batch, max_len, cfg.kv_heads, cfg.dim_head)
     if quantized:
-        sshape = shape[:-1]
+        # scales keep S on the lane dim ([L, B, H, S]) — HBM DMA slices of
+        # the decode kernel must be 128-aligned along the minor dim
+        sshape = (cfg.num_layers, batch, cfg.kv_heads, max_len)
         return {
             "k": jnp.zeros(shape, jnp.int8),
             "k_s": jnp.zeros(sshape, jnp.float32),
@@ -318,15 +320,17 @@ def forward(
             if quantized_cache:
                 kq, ks = _quantize_rows(k)
                 vq, vs = _quantize_rows(v)
+                ks_t = jnp.transpose(ks, (0, 2, 1))  # [B,T,H] → [B,H,T]
+                vs_t = jnp.transpose(vs, (0, 2, 1))
                 cache = {
                     "k": jax.lax.dynamic_update_slice(
                         cache["k"], kq[None], (li, 0, cache_len, 0, 0)),
                     "k_s": jax.lax.dynamic_update_slice(
-                        cache["k_s"], ks[None], (li, 0, cache_len, 0)),
+                        cache["k_s"], ks_t[None], (li, 0, 0, cache_len)),
                     "v": jax.lax.dynamic_update_slice(
                         cache["v"], vq[None], (li, 0, cache_len, 0, 0)),
                     "v_s": jax.lax.dynamic_update_slice(
-                        cache["v_s"], vs[None], (li, 0, cache_len, 0)),
+                        cache["v_s"], vs_t[None], (li, 0, 0, cache_len)),
                 }
             else:
                 cache = {

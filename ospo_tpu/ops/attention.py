@@ -45,26 +45,27 @@ def xla_attention(
     causal: bool = True,
 ) -> jax.Array:
     """k / v may be plain arrays or int8-quantized dicts
-    ``{"q": int8 [B,S,KVH,Dh], "s": f32 [B,S,KVH]}`` (quantized KV cache) —
-    the scales fold into the score matrix / probability matrix, so the
-    int8 payload is converted in-read with no dequantised copy."""
+    ``{"q": int8 [B,S,KVH,Dh], "s": f32 [B,KVH,S]}`` (quantized KV cache;
+    scales are stored head-major/position-minor for DMA alignment) — the
+    scales fold into the score matrix / probability matrix, so the int8
+    payload is converted in-read with no dequantised copy."""
     B, T, H, Dh = q.shape
     k_vals, k_scale = (k["q"], k["s"]) if isinstance(k, dict) else (k, None)
     v_vals, v_scale = (v["q"], v["s"]) if isinstance(v, dict) else (v, None)
     S = k_vals.shape[1]
     k_vals = _repeat_kv(k_vals, H)
     v_vals = _repeat_kv(v_vals, H)
-    if k_scale is not None:
-        k_scale = _repeat_kv(k_scale[..., None], H)[..., 0]   # [B,S,H]
-    if v_scale is not None:
-        v_scale = _repeat_kv(v_scale[..., None], H)[..., 0]
+    if k_scale is not None and k_scale.shape[1] != H:  # GQA head groups
+        k_scale = jnp.repeat(k_scale, H // k_scale.shape[1], axis=1)
+    if v_scale is not None and v_scale.shape[1] != H:
+        v_scale = jnp.repeat(v_scale, H // v_scale.shape[1], axis=1)
     scale = Dh ** -0.5
 
     scores = jnp.einsum(
         "bthd,bshd->bhts", q.astype(jnp.float32), k_vals.astype(jnp.float32)
     ) * scale
     if k_scale is not None:
-        scores = scores * jnp.transpose(k_scale, (0, 2, 1))[:, :, None, :]
+        scores = scores * k_scale[:, :, None, :]              # [B,H,1,S]
 
     allowed = jnp.ones((B, 1, T, S), dtype=bool)
     if mask is not None:
@@ -77,7 +78,7 @@ def xla_attention(
     scores = jnp.where(allowed, scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     if v_scale is not None:
-        probs = probs * jnp.transpose(v_scale, (0, 2, 1))[:, :, None, :]
+        probs = probs * v_scale[:, :, None, :]
     out = jnp.einsum("bhts,bshd->bthd", probs, v_vals.astype(jnp.float32))
     return out.astype(q.dtype)
 

@@ -43,11 +43,11 @@ _NEG_INF = -1e30
 def _kernel(scalars_ref,              # [2] int32: (layer_idx, cur_len)
             q_ref,                    # VMEM [1, 1, H, dh]
             k_hbm, v_hbm,             # ANY [L, B, S, H, dh]
-            ks_hbm, vs_hbm,           # ANY [L, B, S, H] f32 (or dummy)
+            ks_hbm, vs_hbm,           # ANY [L, B, H, S] f32 (or dummy)
             mask_ref,                 # VMEM [1, S, 1] int32
             o_ref,                    # VMEM [1, 1, H, dh]
             kbuf, vbuf,               # VMEM scratch (2, blk, H, dh)
-            ksbuf, vsbuf,             # VMEM scratch (2, blk, H)
+            ksbuf, vsbuf,             # VMEM scratch (2, H, blk)
             ksem, vsem, kssem, vssem,  # DMA semaphores (2,)
             *, blk: int, scale: float, quantized: bool):
     b = pl.program_id(0)
@@ -72,12 +72,12 @@ def _kernel(scalars_ref,              # [2] int32: (layer_idx, cur_len)
 
     def ks_dma(slot, i):
         return pltpu.make_async_copy(
-            ks_hbm.at[li, b, pl.ds(row0(i), blk), :], ksbuf.at[slot],
+            ks_hbm.at[li, b, :, pl.ds(row0(i), blk)], ksbuf.at[slot],
             kssem.at[slot])
 
     def vs_dma(slot, i):
         return pltpu.make_async_copy(
-            vs_hbm.at[li, b, pl.ds(row0(i), blk), :], vsbuf.at[slot],
+            vs_hbm.at[li, b, :, pl.ds(row0(i), blk)], vsbuf.at[slot],
             vssem.at[slot])
 
     def start(slot, i):
@@ -111,7 +111,8 @@ def _kernel(scalars_ref,              # [2] int32: (layer_idx, cur_len)
         # scores: broadcast-mul + minor-dim reduce (VPU; bandwidth-bound op)
         s = jnp.sum(k * q[None, :, :], axis=-1)              # [blk, H]
         if quantized:
-            s = s * ksbuf[slot]
+            # scale buffer is [H, blk] (DMA-aligned layout) → f32 transpose
+            s = s * jnp.transpose(ksbuf[slot], (1, 0))
 
         rows = i * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, H), 0)
         valid = (rows < cur_len) & (
@@ -125,7 +126,7 @@ def _kernel(scalars_ref,              # [2] int32: (layer_idx, cur_len)
         alpha = jnp.exp(m_prev - m_new)                      # [1, H]
         l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
         if quantized:
-            p = p * vsbuf[slot]
+            p = p * jnp.transpose(vsbuf[slot], (1, 0))
         v = vbuf[slot].astype(jnp.float32)                   # [blk, H, dh]
         pv = jnp.sum(p[:, :, None] * v, axis=0)              # [H, dh]
         alpha_col = jnp.transpose(alpha, (1, 0))             # [H, 1] (f32)
@@ -148,7 +149,7 @@ def decode_attention(
     layer_idx,                         # int32 scalar
     cur_len,                           # int32 scalar — populated rows
     mask: jax.Array,                   # [B, S] key validity
-    k_scale: Optional[jax.Array] = None,  # [L, B, S, H] f32 (int8 cache)
+    k_scale: Optional[jax.Array] = None,  # [L, B, H, S] f32 (int8 cache)
     v_scale: Optional[jax.Array] = None,
     blk: int = 128,
     interpret: bool = False,
@@ -183,8 +184,8 @@ def decode_attention(
         scratch_shapes=[
             pltpu.VMEM((2, blk, H, dh), k_cache.dtype),
             pltpu.VMEM((2, blk, H, dh), v_cache.dtype),
-            pltpu.VMEM((2, blk, H), jnp.float32),
-            pltpu.VMEM((2, blk, H), jnp.float32),
+            pltpu.VMEM((2, H, blk), jnp.float32),
+            pltpu.VMEM((2, H, blk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -77,6 +77,9 @@ def main(config) -> None:
 
 
 if __name__ == "__main__":
+    from ospo_tpu.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg_path", type=str, default=None)
     parser.add_argument("--config_dir", type=str, default="configs")

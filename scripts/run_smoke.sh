@@ -3,6 +3,7 @@
 # every CLI and the inter-stage JSON/PNG contracts in minutes (CPU ok:
 # JAX_PLATFORMS=cpu bash scripts/run_smoke.sh).
 set -e
+export OSPO_PLATFORM=${OSPO_PLATFORM:-cpu}   # tiny smoke model: CPU is plenty
 cd "$(dirname "$0")/.."
 rm -rf outputs-smoke
 

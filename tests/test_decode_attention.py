@@ -23,6 +23,9 @@ def make_case(quantized, L=3, B=2, S=256, H=4, dh=128, cur=170, li=1, seed=0):
 
         kq, ksc = jax.vmap(_quantize_rows)(kc)
         vq, vsc = jax.vmap(_quantize_rows)(vc)
+        # scale layout [L, B, H, S] (DMA-aligned)
+        ksc = jnp.transpose(ksc, (0, 1, 3, 2))
+        vsc = jnp.transpose(vsc, (0, 1, 3, 2))
         return q, kq, vq, ksc, vsc, mask, cur, li, kc, vc
     return q, kc, vc, None, None, mask, cur, li, kc, vc
 
@@ -41,9 +44,9 @@ def test_decode_attention_matches_xla(quantized):
         v_ref = np.asarray(vc_f)[li]
         # reference uses the dequantised cache for tolerance comparison
         k_ref = (np.asarray(kc[li], np.float32)
-                 * np.asarray(ksc[li])[..., None])
+                 * np.asarray(ksc[li]).transpose(0, 2, 1)[..., None])
         v_ref = (np.asarray(vc[li], np.float32)
-                 * np.asarray(vsc[li])[..., None])
+                 * np.asarray(vsc[li]).transpose(0, 2, 1)[..., None])
     else:
         k_ref, v_ref = np.asarray(kc[li]), np.asarray(vc[li])
     ref = xla_attention(q, jnp.asarray(k_ref), jnp.asarray(v_ref),
