@@ -112,6 +112,8 @@ class ImageGenEngine:
         b = two_b // 2
         n_img = self.image_token_num
         s_max = t_prompt + n_img
+        if self.decode_kernel:  # kernel DMA blocks need a 128-aligned window
+            s_max = ((s_max + 127) // 128) * 128
 
         inputs_embeds = janus_lib.embed_text(params, tokens)
         positions = llama.positions_from_mask(attn_mask)
@@ -125,9 +127,12 @@ class ImageGenEngine:
         prompt_len = jnp.sum(attn_mask, axis=-1)  # [2B] valid prompt tokens
 
         # window mask over the whole cache: prompt part + all-ones image part
-        # (row-causality inside the scan excludes not-yet-written rows)
+        # (row-causality / cur_len exclude not-yet-written rows); alignment
+        # pad rows (decode_kernel) stay masked out
         window_mask = jnp.concatenate(
-            [attn_mask, jnp.ones((two_b, n_img), attn_mask.dtype)], axis=-1
+            [attn_mask, jnp.ones((two_b, n_img), attn_mask.dtype),
+             jnp.zeros((two_b, s_max - t_prompt - n_img), attn_mask.dtype)],
+            axis=-1,
         )
 
         def sample_step(hidden_last, kv, step, key):

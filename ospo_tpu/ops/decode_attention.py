@@ -157,8 +157,13 @@ def decode_attention(
     """→ [B, 1, H, dh] attention output for the newest token."""
     B, _, H, dh = q.shape
     L, _, S, _, _ = k_cache.shape
-    if S % blk != 0:  # tiny test shapes: largest divisor ≤ blk
-        blk = next(d for d in range(min(blk, S), 0, -1) if S % d == 0)
+    if S % blk != 0:
+        if interpret:  # tiny test shapes: largest divisor ≤ blk
+            blk = next(d for d in range(min(blk, S), 0, -1) if S % d == 0)
+        else:
+            raise ValueError(
+                f"decode_attention: cache window S={S} must be a multiple of "
+                f"blk={blk} on TPU (pad the cache; engines align to 128)")
     quantized = k_scale is not None
 
     q4 = q.reshape(B, 1, H, dh)
