@@ -273,6 +273,7 @@ def main() -> None:
         batch_bucketing=False,  # measure the exact requested batch
         kv_quant=os.environ.get("OSPO_BENCH_KV") == "int8",
         decode_kernel=os.environ.get("OSPO_BENCH_DECODE_KERNEL") == "1",
+        speculative=int(os.environ.get("OSPO_BENCH_SJD", "0")),
     )
 
     # 16GB v5e, 7B: int8 weights ~5.9GB + int8 KV ~0.63GB/CFG pair → B=8;

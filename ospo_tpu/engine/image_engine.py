@@ -49,6 +49,7 @@ class ImageGenEngine:
         kv_quant: bool = False,
         decode_segments: int = 1,
         decode_kernel: bool = False,
+        speculative: int = 0,
     ):
         self.model = model
         self.processor = processor
@@ -73,6 +74,12 @@ class ImageGenEngine:
         # Pallas decode-attention kernel: stream only the populated cache
         # prefix per step (ops/decode_attention.py)
         self.decode_kernel = decode_kernel
+        # speculative Jacobi decoding: window size W (0 = sequential).
+        # Drafts from the previous Jacobi iterate are verified W-at-a-time
+        # with speculative-sampling acceptance (target distribution
+        # preserved exactly); batch rows advance unevenly via per-row
+        # cache offsets. arXiv:2410.01699 for the algorithm family.
+        self.speculative = int(speculative)
         self._decode_fn = jax.jit(self._decode_tokens)
 
     # ------------------------------------------------------------------
@@ -186,6 +193,137 @@ class ImageGenEngine:
             start = end
         return jnp.concatenate(outs, axis=1)
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _generate_tokens_sjd(self, params, tokens, attn_mask, rng,
+                             cfg_weight, temperature):
+        """Speculative-Jacobi CFG decode: verify W drafted tokens per model
+        call with spec-sampling acceptance; rows advance by their accepted
+        counts (per-row cache offsets). Output distribution == sequential
+        sampling (acceptance/residual-resampling identity)."""
+        cfg = self.model.cfg
+        two_b, t_prompt = tokens.shape
+        b = two_b // 2
+        n_img = self.image_token_num
+        W = self.speculative
+        s_max = t_prompt + n_img + W          # drafts may overhang the end
+        s_max = ((s_max + 127) // 128) * 128 if self.decode_kernel else s_max
+
+        inputs_embeds = janus_lib.embed_text(params, tokens)
+        positions = llama.positions_from_mask(attn_mask)
+        kv = llama.init_kv_cache(cfg.language, two_b, s_max,
+                                 quantized=self.kv_quant)
+        hidden, kv = janus_lib.language_forward(
+            params, cfg, inputs_embeds, attn_mask, positions,
+            kv_cache=kv, self_attn=True,
+        )
+        prompt_len = jnp.sum(attn_mask, axis=-1)              # [2B] rotary base
+        base_mask = jnp.concatenate(
+            [attn_mask, jnp.zeros((two_b, s_max - t_prompt), attn_mask.dtype)],
+            axis=-1,
+        )
+        s_idx = jnp.arange(s_max)[None, :]
+
+        def fused_probs(hidden_w):
+            logits = janus_lib.gen_logits(params, hidden_w)    # [2B, W, V]
+            cond, uncond = logits[:b], logits[b:]
+            fused = uncond + cfg_weight * (cond - uncond)
+            return jax.nn.softmax(fused / jnp.maximum(temperature, 1e-6), -1)
+
+        # ---- bootstrap: one sequential token + W initial drafts ----
+        rng, k0, k1 = jax.random.split(rng, 3)
+        p0 = fused_probs(hidden[:, -1:, :])[:, 0]              # [B, V]
+        tok0 = jax.random.categorical(k0, jnp.log(p0 + 1e-30))
+        out = jnp.full((b, n_img), 0, jnp.int32).at[:, 0].set(tok0)
+        drafts = jax.random.categorical(
+            k1, jnp.log(p0 + 1e-30)[:, None, :], shape=(b, W))  # iid from p0
+        q_probs = jnp.broadcast_to(p0[:, None, :], (b, W, p0.shape[-1]))
+
+        state = dict(
+            cache=kv,
+            n_gen=jnp.ones((b,), jnp.int32),                   # tok0 committed
+            last_tok=tok0,
+            drafts=drafts,
+            q_probs=q_probs,
+            out=out,
+            rng=rng,
+            iters=jnp.zeros((), jnp.int32),
+        )
+
+        def cond_fn(st):
+            return jnp.min(st["n_gen"]) < n_img
+
+        def body_fn(st):
+            rng, k_acc, k_res, k_draft = jax.random.split(st["rng"], 4)
+            n_gen = st["n_gen"]
+            len_b = t_prompt + n_gen                           # absolute rows
+            len2b = jnp.concatenate([len_b, len_b])
+
+            inputs = jnp.concatenate(
+                [st["last_tok"][:, None], st["drafts"][:, : W - 1]], axis=1)
+            inputs2b = jnp.concatenate([inputs, inputs], axis=0)
+            embeds = janus_lib.prepare_gen_img_embeds(params, cfg, inputs2b)
+            pos = (prompt_len + jnp.concatenate([n_gen, n_gen]))[:, None] \
+                + jnp.arange(W)[None, :]
+            mask = base_mask | (
+                (s_idx >= t_prompt) & (s_idx < (len2b + W)[:, None])
+            ).astype(base_mask.dtype)
+
+            hidden, cache = janus_lib.language_forward(
+                params, cfg, embeds, mask, pos, kv_cache=st["cache"],
+                cache_positions=len2b,
+            )
+            p = fused_probs(hidden)                            # [B, W, V]
+
+            d = st["drafts"]
+            q = st["q_probs"]
+            p_d = jnp.take_along_axis(p, d[..., None], axis=-1)[..., 0]
+            q_d = jnp.take_along_axis(q, d[..., None], axis=-1)[..., 0]
+            ratio = p_d / jnp.maximum(q_d, 1e-30)
+            u = jax.random.uniform(k_acc, (b, W))
+            acc = (u < ratio).astype(jnp.int32)
+            prefix = jnp.cumprod(acc, axis=1)
+            n_acc = jnp.sum(prefix, axis=1)                    # [B] 0..W
+
+            # residual resample at the first rejected slot
+            j = jnp.minimum(n_acc, W - 1)
+            p_j = jax.vmap(lambda pp, jj: pp[jj])(p, j)
+            q_j = jax.vmap(lambda qq, jj: qq[jj])(q, j)
+            resid = jnp.maximum(p_j - q_j, 0.0)
+            resid_ok = jnp.sum(resid, axis=-1, keepdims=True) > 1e-20
+            resid = jnp.where(resid_ok, resid, p_j)
+            t_res = jax.random.categorical(k_res, jnp.log(resid + 1e-30))
+
+            c = jnp.where(n_acc < W, n_acc + 1, W)             # committed count
+            c = jnp.where(n_gen >= n_img, 0, c)                # freeze done rows
+            wi = jnp.arange(W)[None, :]
+            committed = jnp.where(
+                wi < n_acc[:, None], d,
+                jnp.where(wi == n_acc[:, None], t_res[:, None], 0),
+            )
+            # scatter into out (OOB → drop)
+            write_idx = jnp.where(
+                (wi < c[:, None]) & ((n_gen[:, None] + wi) < n_img),
+                n_gen[:, None] + wi, n_img,
+            )
+            out = st["out"].at[jnp.arange(b)[:, None], write_idx].set(
+                committed, mode="drop")
+            last = jnp.take_along_axis(
+                committed, jnp.maximum(c - 1, 0)[:, None], axis=1)[:, 0]
+            last = jnp.where(c > 0, last, st["last_tok"])
+
+            # next Jacobi drafts: reuse this round's samples shifted by c
+            s_all = jax.random.categorical(k_draft, jnp.log(p + 1e-30))  # [B, W]
+            src = jnp.minimum(c[:, None] + wi, W - 1)
+            drafts_new = jnp.take_along_axis(s_all, src, axis=1)
+            q_new = jax.vmap(lambda pp, ss: pp[ss])(p, src)
+
+            return dict(cache=cache, n_gen=n_gen + c, last_tok=last,
+                        drafts=drafts_new, q_probs=q_new, out=out, rng=rng,
+                        iters=st["iters"] + 1)
+
+        state = jax.lax.while_loop(cond_fn, body_fn, state)
+        return state["out"], state["iters"]
+
     def _decode_tokens(self, params, gen_tokens):
         latent = self.img_size // self.patch_size
         return vqgan.decode_code(
@@ -202,11 +340,16 @@ class ImageGenEngine:
         b_bucket = 1 << (b_real - 1).bit_length() if self.batch_bucketing else b_real
         prompts = list(prompts) + [prompts[-1]] * (b_bucket - b_real)
         tokens, mask = self.build_cfg_batch(prompts)
-        out = self._generate_tokens(
+        args = (
             self.model.params, jnp.asarray(tokens), jnp.asarray(mask),
             jax.random.PRNGKey(seed),
             jnp.float32(self.cfg_weight), jnp.float32(self.temperature),
         )
+        if self.speculative > 0:
+            out, iters = self._generate_tokens_sjd(*args)
+            self.last_sjd_iters = int(iters)
+        else:
+            out = self._generate_tokens(*args)
         return np.asarray(out)[:b_real]
 
     def generate_images(self, prompts: Sequence[str], seed: int = 0) -> np.ndarray:

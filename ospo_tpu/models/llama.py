@@ -250,6 +250,7 @@ def forward(
     attn_impl: str = "auto",
     attn_window: Optional[int] = None,
     decode_kernel: bool = False,
+    cache_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """Run the decoder trunk; returns final-norm hidden states.
 
@@ -264,6 +265,12 @@ def forward(
     when the cache was empty).  This keeps prefill on the Pallas flash
     kernel (T == S) instead of attending over the whole padded cache window;
     ``attention_mask`` must then be ``[B, T]``.
+
+    ``cache_positions`` ([B] int32) switches the cached path to *per-row*
+    write offsets (scatter instead of a shared dynamic-update-slice) with
+    per-row causal offsets — the mechanism behind speculative Jacobi
+    decoding, where batch rows advance unevenly.  XLA keeps the scatter
+    in-place on the scan-carried cache.
     """
     x = inputs_embeds.astype(cfg.dtype)
     cos, sin = rope_frequencies(cfg, positions)
@@ -312,6 +319,40 @@ def forward(
         # HBM on every generated token).
         quantized_cache = "k_s" in kv_cache  # int8 KV (init_kv_cache)
 
+        per_row = cache_positions is not None
+
+        def write_kv(cache, li, kval, ks_t, vval, vs_t):
+            """Write the fresh rows: shared-offset DUS (standard decode) or
+            per-row scatter (speculative Jacobi)."""
+            if not per_row:
+                out = {
+                    "k": jax.lax.dynamic_update_slice(
+                        cache["k"], kval[None], (li, 0, cache_len, 0, 0)),
+                    "v": jax.lax.dynamic_update_slice(
+                        cache["v"], vval[None], (li, 0, cache_len, 0, 0)),
+                }
+                if ks_t is not None:
+                    out["k_s"] = jax.lax.dynamic_update_slice(
+                        cache["k_s"], ks_t[None], (li, 0, 0, cache_len))
+                    out["v_s"] = jax.lax.dynamic_update_slice(
+                        cache["v_s"], vs_t[None], (li, 0, 0, cache_len))
+                return out
+            Bq, Tq = kval.shape[0], kval.shape[1]
+            bidx = jnp.arange(Bq)[:, None]
+            sidx = cache_positions[:, None] + jnp.arange(Tq)[None, :]
+            out = {
+                "k": cache["k"].at[li, bidx, sidx].set(kval),
+                "v": cache["v"].at[li, bidx, sidx].set(vval),
+            }
+            if ks_t is not None:
+                Hq = ks_t.shape[1]
+                b3 = jnp.arange(Bq)[:, None, None]
+                h3 = jnp.arange(Hq)[None, :, None]
+                s3 = sidx[:, None, :]
+                out["k_s"] = cache["k_s"].at[li, b3, h3, s3].set(ks_t)
+                out["v_s"] = cache["v_s"].at[li, b3, h3, s3].set(vs_t)
+            return out
+
         def layer_body(carry, layer_in):
             x, cache = carry
             lp, llora, li = layer_in
@@ -322,25 +363,10 @@ def forward(
                 vq, vs = _quantize_rows(v)
                 ks_t = jnp.transpose(ks, (0, 2, 1))  # [B,T,H] → [B,H,T]
                 vs_t = jnp.transpose(vs, (0, 2, 1))
-                cache = {
-                    "k": jax.lax.dynamic_update_slice(
-                        cache["k"], kq[None], (li, 0, cache_len, 0, 0)),
-                    "k_s": jax.lax.dynamic_update_slice(
-                        cache["k_s"], ks_t[None], (li, 0, 0, cache_len)),
-                    "v": jax.lax.dynamic_update_slice(
-                        cache["v"], vq[None], (li, 0, cache_len, 0, 0)),
-                    "v_s": jax.lax.dynamic_update_slice(
-                        cache["v_s"], vs_t[None], (li, 0, 0, cache_len)),
-                }
+                cache = write_kv(cache, li, kq, ks_t, vq, vs_t)
             else:
-                cache = {
-                    "k": jax.lax.dynamic_update_slice(
-                        cache["k"], k.astype(cache["k"].dtype)[None],
-                        (li, 0, cache_len, 0, 0)),
-                    "v": jax.lax.dynamic_update_slice(
-                        cache["v"], v.astype(cache["v"].dtype)[None],
-                        (li, 0, cache_len, 0, 0)),
-                }
+                cache = write_kv(cache, li, k.astype(cache["k"].dtype), None,
+                                 v.astype(cache["v"].dtype), None)
 
             if self_attn:
                 x = finish_layer(x, lp, llora, q, k, v, 0, attention_mask)
@@ -367,17 +393,22 @@ def forward(
                 # (mostly-unwritten) cache from HBM
                 W = attn_window
 
-                def at(name):
+                def at(name, s_axis=1):
                     sl = jax.lax.dynamic_index_in_dim(
                         cache[name], li, 0, keepdims=False)
-                    return sl if W is None else sl[:, :W]
+                    if W is None:
+                        return sl
+                    # window-slice along the position axis (scales keep S
+                    # on the minor dim)
+                    return sl[:, :W] if s_axis == 1 else sl[:, :, :W]
 
                 if quantized_cache:
-                    k_att = {"q": at("k"), "s": at("k_s")}
-                    v_att = {"q": at("v"), "s": at("v_s")}
+                    k_att = {"q": at("k"), "s": at("k_s", s_axis=2)}
+                    v_att = {"q": at("v"), "s": at("v_s", s_axis=2)}
                 else:
                     k_att, v_att = at("k"), at("v")
-                x = finish_layer(x, lp, llora, q, k_att, v_att, cache_len,
+                q_off = cache_positions if per_row else cache_len
+                x = finish_layer(x, lp, llora, q, k_att, v_att, q_off,
                                  attention_mask)
             return (x, cache), None
 

@@ -71,9 +71,13 @@ def xla_attention(
     if mask is not None:
         allowed = allowed & mask[:, None, None, :].astype(bool)
     if causal:
-        q_rows = q_offset + jnp.arange(T)[:, None]      # [T, 1]
-        k_rows = jnp.arange(S)[None, :]                  # [1, S]
-        allowed = allowed & (k_rows <= q_rows)[None, None, :, :]
+        off = jnp.asarray(q_offset)
+        if off.ndim == 0:                                # shared offset
+            q_rows = off + jnp.arange(T)[None, :, None]  # [1, T, 1]
+        else:                                            # per-row offsets [B]
+            q_rows = off[:, None, None] + jnp.arange(T)[None, :, None]
+        k_rows = jnp.arange(S)[None, None, :]            # [1, 1, S]
+        allowed = allowed & (k_rows <= q_rows)[:, None, :, :]
 
     scores = jnp.where(allowed, scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
