@@ -69,7 +69,8 @@ def main(config) -> None:
         img_size=model.cfg.gen_image_size,
         patch_size=model.cfg.vq.downsample_factor,
         kv_quant=(config.get("kv_quant") or "").lower() == "int8",
-        decode_segments=int(config.get("decode_segments") or 4),
+        decode_segments=int(config.get("decode_segments") or 1),
+        speculative=int(config.get("speculative") or 0),
     )
     prompts = shard_for_process(read_json(config.data_path))
     generate_all(config, engine, prompts)
