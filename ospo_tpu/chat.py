@@ -13,7 +13,7 @@ We implement that format directly instead of a multi-style registry.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
 from ospo_tpu.constants import EOS_TAG

@@ -19,7 +19,7 @@ TPU-first redesign of the reference's 576-iteration python loop
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

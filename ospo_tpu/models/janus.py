@@ -16,7 +16,7 @@ config-carrying namespace so engines can stay jit-friendly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ Encode/decode are shape-verified and codebook-roundtrip-verified in
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -370,9 +370,56 @@ def port_janus(sd: Mapping[str, np.ndarray], cfg: janus_lib.JanusConfig) -> Dict
 
 
 def load_janus(model_path: str,
-               cfg: Optional[janus_lib.JanusConfig] = None) -> "janus_lib.JanusModel":
+               cfg: Optional[janus_lib.JanusConfig] = None,
+               use_cache: bool = True) -> "janus_lib.JanusModel":
+    """Load a Janus checkpoint, caching the ported pytree next to the HF
+    files (``ported_params.npz``) so subsequent loads skip the torch-layout
+    mapping and shard parsing."""
     if cfg is None:
         cfg = config_from_checkpoint(model_path)
+    cache_path = os.path.join(model_path, "ported_params.npz")
+    if use_cache and os.path.isfile(cache_path):
+        print(f"# Loading ported param cache {cache_path}")
+        return janus_lib.JanusModel(cfg, _load_param_cache(cache_path))
     sd = load_state_dict(model_path)
     params = port_janus(sd, cfg)
+    if use_cache:
+        try:
+            _save_param_cache(cache_path, params)
+        except OSError as e:  # read-only checkpoint dirs are fine
+            print(f"# (ported-param cache not written: {e})")
     return janus_lib.JanusModel(cfg, params)
+
+
+def _save_param_cache(path: str, params) -> None:
+    """Flat-npz param cache; bf16 leaves are stored bit-cast to uint16
+    (np.save can't serialise ml_dtypes without pickle)."""
+    import jax
+    import ml_dtypes
+
+    from ospo_tpu.train.checkpoint import _flatten
+
+    flat = {}
+    for k, v in _flatten(jax.device_get(params)).items():
+        if v.dtype == ml_dtypes.bfloat16:
+            flat[k + "#bf16"] = v.view(np.uint16)
+        else:
+            flat[k] = v
+    np.savez(path, **flat)
+
+
+def _load_param_cache(path: str):
+    import ml_dtypes
+
+    from ospo_tpu.train.checkpoint import _unflatten
+
+    with np.load(path) as data:
+        flat = {}
+        for k in data.files:
+            if k.endswith("#bf16"):
+                flat[k[:-5]] = data[k].view(ml_dtypes.bfloat16)
+            else:
+                flat[k] = data[k]
+    import jax
+
+    return jax.tree.map(jnp.asarray, _unflatten(flat))

@@ -65,8 +65,6 @@ def quantize_janus_params(params: Dict[str, Any],
     out = dict(params)
     out["language_model"] = quantize_llama_params(params["language_model"])
     if quantize_gen_head:
-        from copy import deepcopy
-
         gh = {k: dict(v) for k, v in params["gen_head"].items()}
         for blk in ("proj", "head"):
             gh[blk]["w"] = quantize_matrix(gh[blk]["w"])

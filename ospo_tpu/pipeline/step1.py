@@ -22,7 +22,7 @@ from typing import Dict, List
 import jax
 
 from ospo_tpu import chat
-from ospo_tpu.config import Config, build_config
+from ospo_tpu.config import build_config
 from ospo_tpu.engine.text_engine import TextGenEngine
 from ospo_tpu.io import merge_element_sets, process_index, read_json, save_json, set_seed
 from ospo_tpu.pipeline.model_factory import get_model

@@ -14,7 +14,7 @@ from __future__ import annotations
 import argparse
 import os
 import re
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 

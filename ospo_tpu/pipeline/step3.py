@@ -37,9 +37,12 @@ def save_images(images, paths: List[str]) -> None:
 
 
 def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> None:
+    from ospo_tpu.utils.profiling import ThroughputMeter, trace
+
     batch_size = int(config.batch_size or 4)
     seed_list = list(config.seed_list)
     done = 0
+    meter = ThroughputMeter()
     for batch in batched(data, batch_size):
         prompt_lists = [[] for _ in range(6)]
         path_lists = [[] for _ in range(6)]
@@ -73,11 +76,13 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
                     prompt_lists[idx], seed=seed_list[idx % 3]
                 )
                 save_images(images, path_lists[idx])
+                meter.update(len(images) * engine.image_token_num)
         except Exception as e:  # per-batch fault tolerance (reference parity)
             print(f"Error in step3 batch: {e}")
             traceback.print_exc()
         done += len(batch)
-        print(f"[step3] {done}/{len(data)} items")
+        print(f"[step3] {done}/{len(data)} items "
+              f"({meter.rate:.1f} img-tok/s)")
 
 
 def main(config) -> None:

@@ -12,7 +12,7 @@ verbatim.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Tuple
 
 Message = Dict[str, str]
 Conversation = List[Message]

@@ -12,9 +12,9 @@ The non-spatial family supports only <replace>/<drop> and returns
 from __future__ import annotations
 
 import random
-from typing import Optional, Tuple
 
-from ospo_tpu.pipeline.templates.base import ASSISTANT, USER, FewShotTemplate
+
+from ospo_tpu.pipeline.templates.base import ASSISTANT, USER
 
 _STEP_SUFFIX = "Let's think step by step."
 

@@ -12,7 +12,7 @@ peft-compatible defaults: A ~ kaiming-uniform, B = 0, scaling = α/r.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
