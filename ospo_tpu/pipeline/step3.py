@@ -37,12 +37,17 @@ def save_images(images, paths: List[str]) -> None:
 
 
 def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> None:
-    from ospo_tpu.utils.profiling import ThroughputMeter, trace
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ospo_tpu.utils.profiling import ThroughputMeter
 
     batch_size = int(config.batch_size or 4)
     seed_list = list(config.seed_list)
     done = 0
     meter = ThroughputMeter()
+    # PNG encodes overlap the next batch's device decode
+    png_pool = ThreadPoolExecutor(max_workers=2)
+    pending = []
     for batch in batched(data, batch_size):
         prompt_lists = [[] for _ in range(6)]
         path_lists = [[] for _ in range(6)]
@@ -75,7 +80,8 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
                 images = engine.generate_images(
                     prompt_lists[idx], seed=seed_list[idx % 3]
                 )
-                save_images(images, path_lists[idx])
+                pending.append(
+                    png_pool.submit(save_images, images, path_lists[idx]))
                 meter.update(len(images) * engine.image_token_num)
         except Exception as e:  # per-batch fault tolerance (reference parity)
             print(f"Error in step3 batch: {e}")
@@ -83,6 +89,9 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
         done += len(batch)
         print(f"[step3] {done}/{len(data)} items "
               f"({meter.rate:.1f} img-tok/s)")
+    for fut in pending:  # surface any writer errors
+        fut.result()
+    png_pool.shutdown()
 
 
 def main(config) -> None:
