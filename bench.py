@@ -213,18 +213,18 @@ def bench_score(preset: str) -> None:
         return Image.fromarray(
             (rng.random((side, side, 3)) * 255).astype(np.uint8))
 
+    group = 6  # one step-4 item = 3 base + 3 negative images per forward
     t0 = time.time()
-    engine.score_image(img(0), questions)  # compile
+    engine.score_images([img(j) for j in range(group)], questions)  # compile
     compile_s = time.time() - t0
     times = []
     for i in range(1, 4):
         t0 = time.time()
-        engine.score_image(img(i), questions)
+        engine.score_images([img(i * group + j) for j in range(group)], questions)
         times.append(time.time() - t0)
     dt = min(times)
-    imgs_per_sec = 1.0 / dt
-    # one preference pair = 6 scored images (3 base + 3 negative)
-    pairs_per_hour = imgs_per_sec / 6 * 3600
+    imgs_per_sec = group / dt
+    pairs_per_hour = imgs_per_sec / group * 3600
     print(f"# score preset={preset} compile={compile_s:.1f}s img={dt:.2f}s",
           file=sys.stderr)
     print(json.dumps({
