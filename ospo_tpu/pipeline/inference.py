@@ -37,7 +37,8 @@ def generate_all(config, engine: ImageGenEngine, prompts: List[str]) -> None:
             paths = []
             todo = []
             for p in batch:
-                fname = f"{p[:180]}_{seed:02d}.png".replace("/", "_")
+                # reference naming: "{prompt}_{seed}.png" (inference.py:71,177)
+                fname = f"{p}_{seed}.png".replace("/", "_")
                 path = os.path.join(config.save_path, fname)
                 if os.path.exists(path):
                     continue

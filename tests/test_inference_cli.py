@@ -28,8 +28,7 @@ def test_inference_main(tmp_path):
     inference.main(config)
     pngs = sorted(os.listdir(tmp_path / "results"))
     assert len(pngs) == 4  # 2 prompts × 2 seeds
-    for p in pngs:
-        assert p.endswith("_00.png") or p.endswith("_01.png")
+    assert "A red moon_0.png" in pngs and "A white sky_1.png" in pngs
 
 
 def test_image_engine_with_tp_sharded_params():
