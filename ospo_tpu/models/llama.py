@@ -199,13 +199,15 @@ def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]]
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
                   quantized: bool = False) -> Dict[str, jax.Array]:
-    """Preallocated cache. ``quantized=True`` stores K/V as int8 with
-    per-(position, head) fp32 scales — halves the decode loop's dominant
-    HBM stream (cache reads) at large batch."""
-    shape = (cfg.num_layers, batch, max_len, cfg.kv_heads, cfg.dim_head)
+    """Preallocated cache, **head-major** layout ``[L, B, H, S, Dh]``
+    (scales ``[L, B, H, S]``).  Head-major keeps every per-head position
+    stream contiguous, so the Pallas decode kernel can DMA head-block ×
+    position-block chunks with tile-legal slices, and the XLA attention
+    reads it copy-free via einsum.  ``quantized=True`` stores K/V as int8
+    with per-(head, position) fp32 scales — halves the decode loop's
+    dominant HBM stream at large batch."""
+    shape = (cfg.num_layers, batch, cfg.kv_heads, max_len, cfg.dim_head)
     if quantized:
-        # scales keep S on the lane dim ([L, B, H, S]) — HBM DMA slices of
-        # the decode kernel must be 128-aligned along the minor dim
         sshape = (cfg.num_layers, batch, cfg.kv_heads, max_len)
         return {
             "k": jnp.zeros(shape, jnp.int8),
@@ -307,9 +309,10 @@ def forward(
                                lora_scaling, lora_dropout, lkey)
 
     def finish_layer(x, lp, llora, q, k_att, v_att, q_offset, att_mask,
-                     lkey=None):
+                     lkey=None, kv_layout="bshd"):
         attn_out = attention(q, k_att, v_att, mask=att_mask,
-                             q_offset=q_offset, causal=True, impl=attn_impl)
+                             q_offset=q_offset, causal=True, impl=attn_impl,
+                             kv_layout=kv_layout)
         return post_attention(x, lp, llora, attn_out, lkey)
 
     if use_cache:
@@ -322,14 +325,15 @@ def forward(
         per_row = cache_positions is not None
 
         def write_kv(cache, li, kval, ks_t, vval, vs_t):
-            """Write the fresh rows: shared-offset DUS (standard decode) or
-            per-row scatter (speculative Jacobi)."""
+            """Write the fresh rows (head-major cache): shared-offset DUS
+            (standard decode) or per-row scatter (speculative Jacobi).
+            kval/vval: [B, H, T, Dh]; scales: [B, H, T]."""
             if not per_row:
                 out = {
                     "k": jax.lax.dynamic_update_slice(
-                        cache["k"], kval[None], (li, 0, cache_len, 0, 0)),
+                        cache["k"], kval[None], (li, 0, 0, cache_len, 0)),
                     "v": jax.lax.dynamic_update_slice(
-                        cache["v"], vval[None], (li, 0, cache_len, 0, 0)),
+                        cache["v"], vval[None], (li, 0, 0, cache_len, 0)),
                 }
                 if ks_t is not None:
                     out["k_s"] = jax.lax.dynamic_update_slice(
@@ -337,18 +341,15 @@ def forward(
                     out["v_s"] = jax.lax.dynamic_update_slice(
                         cache["v_s"], vs_t[None], (li, 0, 0, cache_len))
                 return out
-            Bq, Tq = kval.shape[0], kval.shape[1]
-            bidx = jnp.arange(Bq)[:, None]
-            sidx = cache_positions[:, None] + jnp.arange(Tq)[None, :]
+            Bq, Hq, Tq = kval.shape[0], kval.shape[1], kval.shape[2]
+            b3 = jnp.arange(Bq)[:, None, None]
+            h3 = jnp.arange(Hq)[None, :, None]
+            s3 = (cache_positions[:, None] + jnp.arange(Tq)[None, :])[:, None, :]
             out = {
-                "k": cache["k"].at[li, bidx, sidx].set(kval),
-                "v": cache["v"].at[li, bidx, sidx].set(vval),
+                "k": cache["k"].at[li, b3, h3, s3].set(kval),
+                "v": cache["v"].at[li, b3, h3, s3].set(vval),
             }
             if ks_t is not None:
-                Hq = ks_t.shape[1]
-                b3 = jnp.arange(Bq)[:, None, None]
-                h3 = jnp.arange(Hq)[None, :, None]
-                s3 = sidx[:, None, :]
                 out["k_s"] = cache["k_s"].at[li, b3, h3, s3].set(ks_t)
                 out["v_s"] = cache["v_s"].at[li, b3, h3, s3].set(vs_t)
             return out
@@ -357,16 +358,16 @@ def forward(
             x, cache = carry
             lp, llora, li = layer_in
             q, k, v = qkv(x, lp, llora)
+            k_hm = jnp.transpose(k, (0, 2, 1, 3))  # [B,T,H,D] → [B,H,T,D]
+            v_hm = jnp.transpose(v, (0, 2, 1, 3))
 
             if quantized_cache:
-                kq, ks = _quantize_rows(k)
-                vq, vs = _quantize_rows(v)
-                ks_t = jnp.transpose(ks, (0, 2, 1))  # [B,T,H] → [B,H,T]
-                vs_t = jnp.transpose(vs, (0, 2, 1))
-                cache = write_kv(cache, li, kq, ks_t, vq, vs_t)
+                kq, ks = _quantize_rows(k_hm)       # scales [B, H, T]
+                vq, vs = _quantize_rows(v_hm)
+                cache = write_kv(cache, li, kq, ks, vq, vs)
             else:
-                cache = write_kv(cache, li, k.astype(cache["k"].dtype), None,
-                                 v.astype(cache["v"].dtype), None)
+                cache = write_kv(cache, li, k_hm.astype(cache["k"].dtype), None,
+                                 v_hm.astype(cache["v"].dtype), None)
 
             if self_attn:
                 x = finish_layer(x, lp, llora, q, k, v, 0, attention_mask)
@@ -393,23 +394,21 @@ def forward(
                 # (mostly-unwritten) cache from HBM
                 W = attn_window
 
-                def at(name, s_axis=1):
+                def at(name):
                     sl = jax.lax.dynamic_index_in_dim(
                         cache[name], li, 0, keepdims=False)
-                    if W is None:
-                        return sl
-                    # window-slice along the position axis (scales keep S
-                    # on the minor dim)
-                    return sl[:, :W] if s_axis == 1 else sl[:, :, :W]
+                    # head-major cache: position axis is 2 for both payload
+                    # and scales
+                    return sl if W is None else sl[:, :, :W]
 
                 if quantized_cache:
-                    k_att = {"q": at("k"), "s": at("k_s", s_axis=2)}
-                    v_att = {"q": at("v"), "s": at("v_s", s_axis=2)}
+                    k_att = {"q": at("k"), "s": at("k_s")}
+                    v_att = {"q": at("v"), "s": at("v_s")}
                 else:
                     k_att, v_att = at("k"), at("v")
                 q_off = cache_positions if per_row else cache_len
                 x = finish_layer(x, lp, llora, q, k_att, v_att, q_off,
-                                 attention_mask)
+                                 attention_mask, kv_layout="bhsd")
             return (x, cache), None
 
         if remat:

@@ -43,26 +43,34 @@ def xla_attention(
     mask: Optional[jax.Array],
     q_offset,
     causal: bool = True,
+    kv_layout: str = "bshd",
 ) -> jax.Array:
     """k / v may be plain arrays or int8-quantized dicts
-    ``{"q": int8 [B,S,KVH,Dh], "s": f32 [B,KVH,S]}`` (quantized KV cache;
-    scales are stored head-major/position-minor for DMA alignment) — the
-    scales fold into the score matrix / probability matrix, so the int8
-    payload is converted in-read with no dequantised copy."""
+    ``{"q": int8, "s": f32 [B,KVH,S]}`` (quantized KV cache) — the scales
+    fold into the score/probability matrices, so the int8 payload is
+    converted in-read with no dequantised copy.  ``kv_layout`` selects the
+    position/head order of k & v: ``bshd`` (fresh self-attention chunks) or
+    ``bhsd`` (the head-major KV cache) — einsum consumes either without a
+    transposed copy."""
     B, T, H, Dh = q.shape
     k_vals, k_scale = (k["q"], k["s"]) if isinstance(k, dict) else (k, None)
     v_vals, v_scale = (v["q"], v["s"]) if isinstance(v, dict) else (v, None)
-    S = k_vals.shape[1]
-    k_vals = _repeat_kv(k_vals, H)
-    v_vals = _repeat_kv(v_vals, H)
-    if k_scale is not None and k_scale.shape[1] != H:  # GQA head groups
+    head_axis = 2 if kv_layout == "bshd" else 1
+    S = k_vals.shape[1 if kv_layout == "bshd" else 2]
+    if k_vals.shape[head_axis] != H:  # GQA head groups
+        reps = H // k_vals.shape[head_axis]
+        k_vals = jnp.repeat(k_vals, reps, axis=head_axis)
+        v_vals = jnp.repeat(v_vals, reps, axis=head_axis)
+    if k_scale is not None and k_scale.shape[1] != H:
         k_scale = jnp.repeat(k_scale, H // k_scale.shape[1], axis=1)
     if v_scale is not None and v_scale.shape[1] != H:
         v_scale = jnp.repeat(v_scale, H // v_scale.shape[1], axis=1)
     scale = Dh ** -0.5
 
+    kv_sub = "bshd" if kv_layout == "bshd" else "bhsd"
     scores = jnp.einsum(
-        "bthd,bshd->bhts", q.astype(jnp.float32), k_vals.astype(jnp.float32)
+        f"bthd,{kv_sub}->bhts", q.astype(jnp.float32),
+        k_vals.astype(jnp.float32)
     ) * scale
     if k_scale is not None:
         scores = scores * k_scale[:, :, None, :]              # [B,H,1,S]
@@ -83,7 +91,8 @@ def xla_attention(
     probs = jax.nn.softmax(scores, axis=-1)
     if v_scale is not None:
         probs = probs * v_scale[:, :, None, :]
-    out = jnp.einsum("bhts,bshd->bthd", probs, v_vals.astype(jnp.float32))
+    out = jnp.einsum(f"bhts,{kv_sub}->bthd", probs,
+                     v_vals.astype(jnp.float32))
     return out.astype(q.dtype)
 
 
@@ -95,15 +104,16 @@ def attention(
     q_offset=0,
     causal: bool = True,
     impl: str = "auto",
+    kv_layout: str = "bshd",
 ) -> jax.Array:
     """Dispatch to the Pallas flash kernel when profitable, else XLA.
 
     Flash is used for TPU self-attention prefill (T == S, static offset 0):
     that is where the O(T²) score matrix would otherwise round-trip HBM.
-    Decode steps (T == 1) stay on the XLA path.
+    Decode steps (T == 1) and cache-layout reads stay on the XLA path.
     """
-    if impl == "xla" or isinstance(k, dict):  # quantized KV → XLA path
-        return xla_attention(q, k, v, mask, q_offset, causal)
+    if impl == "xla" or isinstance(k, dict) or kv_layout != "bshd":
+        return xla_attention(q, k, v, mask, q_offset, causal, kv_layout)
 
     use_flash = (
         impl == "flash"

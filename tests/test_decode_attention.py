@@ -1,4 +1,5 @@
-"""Decode-attention kernel vs the XLA reference (interpret mode)."""
+"""Decode-attention kernel vs the XLA reference (interpret mode).
+Caches are head-major [L, B, H, S, dh] (llama.init_kv_cache layout)."""
 
 import numpy as np
 import pytest
@@ -12,8 +13,8 @@ from ospo_tpu.ops.decode_attention import decode_attention
 def make_case(quantized, L=3, B=2, S=256, H=4, dh=128, cur=170, li=1, seed=0):
     ks = jax.random.split(jax.random.PRNGKey(seed), 4)
     q = jax.random.normal(ks[0], (B, 1, H, dh), jnp.float32)
-    kc = jax.random.normal(ks[1], (L, B, S, H, dh), jnp.float32)
-    vc = jax.random.normal(ks[2], (L, B, S, H, dh), jnp.float32)
+    kc = jax.random.normal(ks[1], (L, B, H, S, dh), jnp.float32)
+    vc = jax.random.normal(ks[2], (L, B, H, S, dh), jnp.float32)
     mask = np.ones((B, S), np.int32)
     mask[1, :5] = 0  # left padding
     mask = jnp.asarray(mask)
@@ -21,11 +22,8 @@ def make_case(quantized, L=3, B=2, S=256, H=4, dh=128, cur=170, li=1, seed=0):
     if quantized:
         from ospo_tpu.models.llama import _quantize_rows
 
-        kq, ksc = jax.vmap(_quantize_rows)(kc)
-        vq, vsc = jax.vmap(_quantize_rows)(vc)
-        # scale layout [L, B, H, S] (DMA-aligned)
-        ksc = jnp.transpose(ksc, (0, 1, 3, 2))
-        vsc = jnp.transpose(vsc, (0, 1, 3, 2))
+        kq, ksc = _quantize_rows(kc)   # scales [L, B, H, S]
+        vq, vsc = _quantize_rows(vc)
         return q, kq, vq, ksc, vsc, mask, cur, li, kc, vc
     return q, kc, vc, None, None, mask, cur, li, kc, vc
 
@@ -40,17 +38,15 @@ def test_decode_attention_matches_xla(quantized):
     window = np.asarray(mask).copy()
     window[:, cur:] = 0
     if quantized:
-        k_ref = np.asarray(kc_f)[li]
-        v_ref = np.asarray(vc_f)[li]
-        # reference uses the dequantised cache for tolerance comparison
         k_ref = (np.asarray(kc[li], np.float32)
-                 * np.asarray(ksc[li]).transpose(0, 2, 1)[..., None])
+                 * np.asarray(ksc[li])[..., None])     # [B, H, S, dh]
         v_ref = (np.asarray(vc[li], np.float32)
-                 * np.asarray(vsc[li]).transpose(0, 2, 1)[..., None])
+                 * np.asarray(vsc[li])[..., None])
     else:
         k_ref, v_ref = np.asarray(kc[li]), np.asarray(vc[li])
     ref = xla_attention(q, jnp.asarray(k_ref), jnp.asarray(v_ref),
-                        jnp.asarray(window), q_offset=cur - 1, causal=True)
+                        jnp.asarray(window), q_offset=cur - 1, causal=True,
+                        kv_layout="bhsd")
 
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
@@ -89,7 +85,7 @@ def test_decode_attention_ignores_tail():
     """Values beyond cur_len must not influence the output."""
     q, kc, vc, _, _, mask, cur, li, *_ = make_case(False)
     out1 = decode_attention(q, kc, vc, li, cur, mask, interpret=True)
-    kc2 = kc.at[:, :, cur:].set(99.0)
-    vc2 = vc.at[:, :, cur:].set(-99.0)
+    kc2 = kc.at[:, :, :, cur:].set(99.0)
+    vc2 = vc.at[:, :, :, cur:].set(-99.0)
     out2 = decode_attention(q, kc2, vc2, li, cur, mask, interpret=True)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
