@@ -124,12 +124,17 @@ class ImageGenEngine:
 
         inputs_embeds = janus_lib.embed_text(params, tokens)
         positions = llama.positions_from_mask(attn_mask)
-        kv = llama.init_kv_cache(cfg.language, two_b, s_max, quantized=self.kv_quant)
+        # head-major cache layout only for the Pallas kernel (tile-legal
+        # DMA); the XLA path measured faster position-major (llama.init_kv_cache)
+        kv = llama.init_kv_cache(cfg.language, two_b, s_max,
+                                 quantized=self.kv_quant,
+                                 head_major=self.decode_kernel)
 
         # ---- prefill (flash attention over the prompt block) ----
         hidden, kv = janus_lib.language_forward(
             params, cfg, inputs_embeds, attn_mask, positions,
             kv_cache=kv, self_attn=True,
+            cache_head_major=self.decode_kernel,
         )
         prompt_len = jnp.sum(attn_mask, axis=-1)  # [2B] valid prompt tokens
 
@@ -167,6 +172,7 @@ class ImageGenEngine:
                     params, cfg, embeds, window_mask[:, :window], pos,
                     kv_cache=kv, attn_window=window,
                     decode_kernel=self.decode_kernel,
+                    cache_head_major=self.decode_kernel,
                 )
                 next_tok, _, embeds, pos = sample_step(
                     hidden[:, -1], kv, step, key)
@@ -211,10 +217,12 @@ class ImageGenEngine:
         inputs_embeds = janus_lib.embed_text(params, tokens)
         positions = llama.positions_from_mask(attn_mask)
         kv = llama.init_kv_cache(cfg.language, two_b, s_max,
-                                 quantized=self.kv_quant)
+                                 quantized=self.kv_quant,
+                                 head_major=self.decode_kernel)
         hidden, kv = janus_lib.language_forward(
             params, cfg, inputs_embeds, attn_mask, positions,
             kv_cache=kv, self_attn=True,
+            cache_head_major=self.decode_kernel,
         )
         prompt_len = jnp.sum(attn_mask, axis=-1)              # [2B] rotary base
         base_mask = jnp.concatenate(
@@ -271,6 +279,7 @@ class ImageGenEngine:
             hidden, cache = janus_lib.language_forward(
                 params, cfg, embeds, mask, pos, kv_cache=st["cache"],
                 cache_positions=len2b,
+                cache_head_major=self.decode_kernel,
             )
             p = fused_probs(hidden)                            # [B, W, V]
 

@@ -198,15 +198,23 @@ def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]]
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
-                  quantized: bool = False) -> Dict[str, jax.Array]:
-    """Preallocated cache, **head-major** layout ``[L, B, H, S, Dh]``
-    (scales ``[L, B, H, S]``).  Head-major keeps every per-head position
-    stream contiguous, so the Pallas decode kernel can DMA head-block ×
-    position-block chunks with tile-legal slices, and the XLA attention
-    reads it copy-free via einsum.  ``quantized=True`` stores K/V as int8
-    with per-(head, position) fp32 scales — halves the decode loop's
-    dominant HBM stream at large batch."""
-    shape = (cfg.num_layers, batch, cfg.kv_heads, max_len, cfg.dim_head)
+                  quantized: bool = False,
+                  head_major: bool = False) -> Dict[str, jax.Array]:
+    """Preallocated cache.  Default layout is **position-major**
+    ``[L, B, S, H, Dh]`` — measured fastest for the XLA decode path (the
+    fresh [B, T, H, Dh] rows DUS in transpose-free, and XLA's fused
+    attention streams it marginally better: 543.9 vs 530.4 tok/s at 7B
+    B=12 int8).  ``head_major=True`` stores ``[L, B, H, S, Dh]``, required
+    by the Pallas decode kernel (``ops/decode_attention.py``): contiguous
+    per-head position streams make head-block × position-block HBM DMA
+    slices tile-legal.  Scales are ``[L, B, H, S]`` in BOTH layouts (the
+    kernel wants S on the lane dim; ``xla_attention`` consumes [B, H, S]).
+    ``quantized=True`` stores K/V as int8 with per-(head, position) fp32
+    scales — halves the decode loop's dominant HBM stream at large batch."""
+    if head_major:
+        shape = (cfg.num_layers, batch, cfg.kv_heads, max_len, cfg.dim_head)
+    else:
+        shape = (cfg.num_layers, batch, max_len, cfg.kv_heads, cfg.dim_head)
     if quantized:
         sshape = (cfg.num_layers, batch, cfg.kv_heads, max_len)
         return {
@@ -252,6 +260,7 @@ def forward(
     attn_impl: str = "auto",
     attn_window: Optional[int] = None,
     decode_kernel: bool = False,
+    cache_head_major: bool = False,
     cache_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """Run the decoder trunk; returns final-norm hidden states.
@@ -273,6 +282,10 @@ def forward(
     per-row causal offsets — the mechanism behind speculative Jacobi
     decoding, where batch rows advance unevenly.  XLA keeps the scatter
     in-place on the scan-carried cache.
+
+    ``cache_head_major`` (static) must match the ``head_major`` flag the
+    cache was built with (``init_kv_cache``) on EVERY call that touches it
+    — prefill and decode alike.  ``decode_kernel=True`` requires it.
     """
     x = inputs_embeds.astype(cfg.dtype)
     cos, sin = rope_frequencies(cfg, positions)
@@ -323,17 +336,24 @@ def forward(
         quantized_cache = "k_s" in kv_cache  # int8 KV (init_kv_cache)
 
         per_row = cache_positions is not None
+        hm = cache_head_major
+        if decode_kernel:
+            assert hm, "decode_kernel requires a head-major cache " \
+                       "(init_kv_cache(head_major=True) + cache_head_major)"
 
         def write_kv(cache, li, kval, ks_t, vval, vs_t):
-            """Write the fresh rows (head-major cache): shared-offset DUS
-            (standard decode) or per-row scatter (speculative Jacobi).
-            kval/vval: [B, H, T, Dh]; scales: [B, H, T]."""
+            """Write the fresh rows: shared-offset DUS (standard decode) or
+            per-row scatter (speculative Jacobi).  kval/vval: [B, H, T, Dh]
+            head-major, [B, T, H, Dh] position-major; scales always
+            [B, H, T] (cache scales are [L, B, H, S] in both layouts)."""
             if not per_row:
+                pos_idx = (li, 0, 0, cache_len, 0) if hm \
+                    else (li, 0, cache_len, 0, 0)
                 out = {
                     "k": jax.lax.dynamic_update_slice(
-                        cache["k"], kval[None], (li, 0, 0, cache_len, 0)),
+                        cache["k"], kval[None], pos_idx),
                     "v": jax.lax.dynamic_update_slice(
-                        cache["v"], vval[None], (li, 0, 0, cache_len, 0)),
+                        cache["v"], vval[None], pos_idx),
                 }
                 if ks_t is not None:
                     out["k_s"] = jax.lax.dynamic_update_slice(
@@ -341,14 +361,24 @@ def forward(
                     out["v_s"] = jax.lax.dynamic_update_slice(
                         cache["v_s"], vs_t[None], (li, 0, 0, cache_len))
                 return out
-            Bq, Hq, Tq = kval.shape[0], kval.shape[1], kval.shape[2]
+            Bq = kval.shape[0]
+            Hq, Tq = (kval.shape[1], kval.shape[2]) if hm \
+                else (kval.shape[2], kval.shape[1])
             b3 = jnp.arange(Bq)[:, None, None]
             h3 = jnp.arange(Hq)[None, :, None]
             s3 = (cache_positions[:, None] + jnp.arange(Tq)[None, :])[:, None, :]
-            out = {
-                "k": cache["k"].at[li, b3, h3, s3].set(kval),
-                "v": cache["v"].at[li, b3, h3, s3].set(vval),
-            }
+            if hm:
+                out = {
+                    "k": cache["k"].at[li, b3, h3, s3].set(kval),
+                    "v": cache["v"].at[li, b3, h3, s3].set(vval),
+                }
+            else:
+                bidx = jnp.arange(Bq)[:, None]
+                sidx = cache_positions[:, None] + jnp.arange(Tq)[None, :]
+                out = {
+                    "k": cache["k"].at[li, bidx, sidx].set(kval),
+                    "v": cache["v"].at[li, bidx, sidx].set(vval),
+                }
             if ks_t is not None:
                 out["k_s"] = cache["k_s"].at[li, b3, h3, s3].set(ks_t)
                 out["v_s"] = cache["v_s"].at[li, b3, h3, s3].set(vs_t)
@@ -358,16 +388,21 @@ def forward(
             x, cache = carry
             lp, llora, li = layer_in
             q, k, v = qkv(x, lp, llora)
-            k_hm = jnp.transpose(k, (0, 2, 1, 3))  # [B,T,H,D] → [B,H,T,D]
-            v_hm = jnp.transpose(v, (0, 2, 1, 3))
+            # head-major caches take transposed rows ([B,T,H,D] → [B,H,T,D]);
+            # position-major writes the projection output untouched
+            k_w = jnp.transpose(k, (0, 2, 1, 3)) if hm else k
+            v_w = jnp.transpose(v, (0, 2, 1, 3)) if hm else v
 
             if quantized_cache:
-                kq, ks = _quantize_rows(k_hm)       # scales [B, H, T]
-                vq, vs = _quantize_rows(v_hm)
+                kq, ks = _quantize_rows(k_w)  # scales [B,H,T] / [B,T,H]
+                vq, vs = _quantize_rows(v_w)
+                if not hm:
+                    ks = jnp.transpose(ks, (0, 2, 1))  # → [B, H, T]
+                    vs = jnp.transpose(vs, (0, 2, 1))
                 cache = write_kv(cache, li, kq, ks, vq, vs)
             else:
-                cache = write_kv(cache, li, k_hm.astype(cache["k"].dtype), None,
-                                 v_hm.astype(cache["v"].dtype), None)
+                cache = write_kv(cache, li, k_w.astype(cache["k"].dtype), None,
+                                 v_w.astype(cache["v"].dtype), None)
 
             if self_attn:
                 x = finish_layer(x, lp, llora, q, k, v, 0, attention_mask)
@@ -394,21 +429,23 @@ def forward(
                 # (mostly-unwritten) cache from HBM
                 W = attn_window
 
-                def at(name):
+                def at(name, s_axis):
                     sl = jax.lax.dynamic_index_in_dim(
                         cache[name], li, 0, keepdims=False)
-                    # head-major cache: position axis is 2 for both payload
-                    # and scales
-                    return sl if W is None else sl[:, :, :W]
+                    if W is None:
+                        return sl
+                    return sl[:, :W] if s_axis == 1 else sl[:, :, :W]
 
+                pos_ax = 2 if hm else 1  # scales keep S on axis 2 always
                 if quantized_cache:
-                    k_att = {"q": at("k"), "s": at("k_s")}
-                    v_att = {"q": at("v"), "s": at("v_s")}
+                    k_att = {"q": at("k", pos_ax), "s": at("k_s", 2)}
+                    v_att = {"q": at("v", pos_ax), "s": at("v_s", 2)}
                 else:
-                    k_att, v_att = at("k"), at("v")
+                    k_att, v_att = at("k", pos_ax), at("v", pos_ax)
                 q_off = cache_positions if per_row else cache_len
                 x = finish_layer(x, lp, llora, q, k_att, v_att, q_off,
-                                 attention_mask, kv_layout="bhsd")
+                                 attention_mask,
+                                 kv_layout="bhsd" if hm else "bshd")
             return (x, cache), None
 
         if remat:
