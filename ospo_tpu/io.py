@@ -17,6 +17,27 @@ from typing import Any, List, Optional
 import numpy as np
 
 
+def load_images(conversations: List[dict]) -> list:
+    """Collect every image referenced by a conversation's messages as RGB
+    PIL images.  Each entry in a message's ``images`` list is either a file
+    path or a ``data:image/...;base64,`` URI (janus/utils/io.py:44-83)."""
+    import base64
+    import io as _io
+
+    from PIL import Image
+
+    out = []
+    for message in conversations:
+        for image_data in message.get("images", []):
+            if image_data.startswith("data:image"):
+                _, payload = image_data.split(",", 1)
+                img = Image.open(_io.BytesIO(base64.b64decode(payload)))
+            else:
+                img = Image.open(image_data)
+            out.append(img.convert("RGB"))
+    return out
+
+
 def read_json(path: str) -> Any:
     with open(path, "r") as f:
         return json.load(f)

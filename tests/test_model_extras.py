@@ -77,3 +77,62 @@ def test_lora_dropout_changes_output_only_with_rng():
     eval_out, _ = llama.forward(params, cfg, x, mask, pos, lora=tree,
                                 lora_scaling=lcfg.scaling, lora_dropout=0.5)
     np.testing.assert_allclose(np.asarray(base), np.asarray(eval_out))
+
+
+def test_projector_types():
+    """All four reference projector types (projector.py:33-59): shapes, the
+    identity passthrough, and the hybrid high/low split-concat."""
+    from ospo_tpu.models import projector as proj
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 5, 16), jnp.float32)
+
+    p = proj.init_projector(key, 16, 24, projector_type="identity",
+                            dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(proj.projector(p, x, "identity")), np.asarray(x))
+
+    p = proj.init_projector(key, 16, 24, projector_type="linear",
+                            dtype=jnp.float32)
+    out = proj.projector(p, x, "linear")
+    assert out.shape == (2, 5, 24)
+    ref = np.asarray(x) @ np.asarray(p["layers"][0]["w"]).T \
+        + np.asarray(p["layers"][0]["b"])
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    p = proj.init_projector(key, 16, 24, depth=2, projector_type="mlp_gelu",
+                            dtype=jnp.float32)
+    assert proj.projector(p, x, "mlp_gelu").shape == (2, 5, 24)
+
+    p = proj.init_projector(key, 16, 24, depth=2,
+                            projector_type="low_high_hybrid_split_mlp_gelu",
+                            dtype=jnp.float32)
+    out = proj.projector(p, (x, x + 1), "low_high_hybrid_split_mlp_gelu")
+    assert out.shape == (2, 5, 24)
+
+
+def test_load_images_path_and_base64(tmp_path):
+    """Conversation image loading accepts file paths and base64 data URIs
+    (janus/utils/io.py:44-83)."""
+    import base64
+    import io as _io
+
+    from PIL import Image
+
+    from ospo_tpu.io import load_images
+
+    img = Image.new("RGB", (8, 8), (10, 200, 30))
+    path = tmp_path / "a.png"
+    img.save(path)
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    uri = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+    convo = [
+        {"role": "User", "content": "<image_placeholder>",
+         "images": [str(path), uri]},
+        {"role": "Assistant", "content": ""},
+    ]
+    out = load_images(convo)
+    assert len(out) == 2
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(out[1]))
