@@ -91,15 +91,22 @@ def _replicated_like(tree: Any) -> Any:
     return jax.tree.map(lambda _: P(), tree)
 
 
+def _module_specs(key: str, subtree: Any) -> Any:
+    """Sharding rules for one top-level Janus submodule (the freeze-matrix
+    granularity, ospo/wrapper/train.py:148-216)."""
+    if key == "language_model":
+        return llama_param_specs()
+    if key == "gen_head":
+        # gen_head's wide output layer is the other big matrix worth sharding
+        return {
+            "proj": {"w": P(None, None), "b": P(None)},
+            "head": {"w": P(MODEL_AXIS, None), "b": P(MODEL_AXIS)},  # [out, in]
+        }
+    return _replicated_like(subtree)
+
+
 def janus_param_specs(params: Dict) -> Dict[str, Any]:
-    specs = {k: _replicated_like(v) for k, v in params.items()}
-    specs["language_model"] = llama_param_specs()
-    # gen_head's wide output layer is the other big matrix worth sharding
-    specs["gen_head"] = {
-        "proj": {"w": P(None, None), "b": P(None)},
-        "head": {"w": P(MODEL_AXIS, None), "b": P(MODEL_AXIS)},  # [out, in]
-    }
-    return specs
+    return {k: _module_specs(k, v) for k, v in params.items()}
 
 
 def shard_janus_params(params: Dict, mesh: Mesh) -> Dict:
@@ -107,6 +114,17 @@ def shard_janus_params(params: Dict, mesh: Mesh) -> Dict:
     specs = janus_param_specs(params)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_trainable_params(trainable: Dict, mesh: Mesh) -> Dict:
+    """Shard a full-finetune trainable subtree (top-level Janus submodule
+    keys, the freeze-matrix granularity) with the same TP rules the full
+    tree gets — gradients and AdamW moments then inherit the layouts via
+    GSPMD propagation, so sharded full finetune needs no train-step changes."""
+    specs = {k: _module_specs(k, v) for k, v in trainable.items()}
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), trainable, specs
     )
 
 

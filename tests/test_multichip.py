@@ -37,6 +37,36 @@ def test_entry_compiles():
     del os.environ["OSPO_ENTRY_PRESET"]
 
 
+def test_full_finetune_sharded_step_matches_unsharded(tmp_path):
+    """Full-finetune (use_peft=False) over a dp×tp mesh: one sharded step
+    must produce the same loss and updated params as the unsharded step
+    (GSPMD propagates the TP layouts through grads and AdamW moments)."""
+    from test_full_finetune import fake_batch, make_trainer
+
+    # unsharded reference
+    t_ref, model_ref = make_trainer(tmp_path / "ref")
+    batch = fake_batch(model_ref.cfg, b=4)  # divisible by the data axis
+    p_ref, _, m_ref = t_ref._step(t_ref.trainable, t_ref.opt_state, **batch)
+
+    # sharded run: shard the model tree BEFORE trainer construction so the
+    # trainable/frozen split and eager opt-state init inherit the layouts
+    t_sh, model_sh = make_trainer(tmp_path / "sh")
+    mesh = mesh_lib.create_mesh(n_devices=8, model_parallel=2)
+    t_sh.trainable = mesh_lib.shard_trainable_params(t_sh.trainable, mesh)
+    t_sh.frozen_params = mesh_lib.shard_janus_params(t_sh.frozen_params, mesh)
+    t_sh.opt_state = t_sh.tx.init(t_sh.trainable)
+    sbatch = mesh_lib.shard_batch(batch, mesh)
+    with mesh:
+        p_sh, _, m_sh = t_sh._step(t_sh.trainable, t_sh.opt_state, **sbatch)
+
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p_sh["language_model"]["layers"]["wq"]),
+        np.asarray(p_ref["language_model"]["layers"]["wq"]),
+        atol=2e-5, rtol=2e-5)
+
+
 def test_tp_sharded_forward_matches_replicated():
     """Tensor-parallel Llama forward over a 2×4-model mesh must equal the
     unsharded forward (GSPMD inserts the collectives; math unchanged)."""
