@@ -50,6 +50,7 @@ class ImageGenEngine:
         decode_segments: int = 1,
         decode_kernel: bool = False,
         speculative: int = 0,
+        kv_layout: str = None,
     ):
         self.model = model
         self.processor = processor
@@ -80,6 +81,15 @@ class ImageGenEngine:
         # preserved exactly); batch rows advance unevenly via per-row
         # cache offsets. arXiv:2410.01699 for the algorithm family.
         self.speculative = int(speculative)
+        # KV-cache layout (llama.init_kv_cache): default position-major
+        # "bshd"; the kernel needs head-major "bhsd"; batch-minor "shbd"
+        # avoids XLA's in-loop layout copies at very large batch
+        self.kv_layout = kv_layout or ("bhsd" if decode_kernel else "bshd")
+        if decode_kernel:
+            assert self.kv_layout == "bhsd", "decode_kernel needs bhsd"
+        if self.speculative:
+            assert self.kv_layout != "shbd", \
+                "speculative decoding needs per-row offsets (bshd/bhsd)"
         self._decode_fn = jax.jit(self._decode_tokens)
 
     # ------------------------------------------------------------------
@@ -124,17 +134,15 @@ class ImageGenEngine:
 
         inputs_embeds = janus_lib.embed_text(params, tokens)
         positions = llama.positions_from_mask(attn_mask)
-        # head-major cache layout only for the Pallas kernel (tile-legal
-        # DMA); the XLA path measured faster position-major (llama.init_kv_cache)
         kv = llama.init_kv_cache(cfg.language, two_b, s_max,
                                  quantized=self.kv_quant,
-                                 head_major=self.decode_kernel)
+                                 layout=self.kv_layout)
 
         # ---- prefill (flash attention over the prompt block) ----
         hidden, kv = janus_lib.language_forward(
             params, cfg, inputs_embeds, attn_mask, positions,
             kv_cache=kv, self_attn=True,
-            cache_head_major=self.decode_kernel,
+            cache_layout=self.kv_layout,
         )
         prompt_len = jnp.sum(attn_mask, axis=-1)  # [2B] valid prompt tokens
 
@@ -172,7 +180,7 @@ class ImageGenEngine:
                     params, cfg, embeds, window_mask[:, :window], pos,
                     kv_cache=kv, attn_window=window,
                     decode_kernel=self.decode_kernel,
-                    cache_head_major=self.decode_kernel,
+                    cache_layout=self.kv_layout,
                 )
                 next_tok, _, embeds, pos = sample_step(
                     hidden[:, -1], kv, step, key)
@@ -218,11 +226,11 @@ class ImageGenEngine:
         positions = llama.positions_from_mask(attn_mask)
         kv = llama.init_kv_cache(cfg.language, two_b, s_max,
                                  quantized=self.kv_quant,
-                                 head_major=self.decode_kernel)
+                                 layout=self.kv_layout)
         hidden, kv = janus_lib.language_forward(
             params, cfg, inputs_embeds, attn_mask, positions,
             kv_cache=kv, self_attn=True,
-            cache_head_major=self.decode_kernel,
+            cache_layout=self.kv_layout,
         )
         prompt_len = jnp.sum(attn_mask, axis=-1)              # [2B] rotary base
         base_mask = jnp.concatenate(
@@ -279,7 +287,7 @@ class ImageGenEngine:
             hidden, cache = janus_lib.language_forward(
                 params, cfg, embeds, mask, pos, kv_cache=st["cache"],
                 cache_positions=len2b,
-                cache_head_major=self.decode_kernel,
+                cache_layout=self.kv_layout,
             )
             p = fused_probs(hidden)                            # [B, W, V]
 

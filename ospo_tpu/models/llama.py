@@ -199,22 +199,33 @@ def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]]
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
                   quantized: bool = False,
-                  head_major: bool = False) -> Dict[str, jax.Array]:
-    """Preallocated cache.  Default layout is **position-major**
-    ``[L, B, S, H, Dh]`` — measured fastest for the XLA decode path (the
-    fresh [B, T, H, Dh] rows DUS in transpose-free, and XLA's fused
-    attention streams it marginally better: 543.9 vs 530.4 tok/s at 7B
-    B=12 int8).  ``head_major=True`` stores ``[L, B, H, S, Dh]``, required
-    by the Pallas decode kernel (``ops/decode_attention.py``): contiguous
-    per-head position streams make head-block × position-block HBM DMA
-    slices tile-legal.  Scales are ``[L, B, H, S]`` in BOTH layouts (the
-    kernel wants S on the lane dim; ``xla_attention`` consumes [B, H, S]).
-    ``quantized=True`` stores K/V as int8 with per-(head, position) fp32
-    scales — halves the decode loop's dominant HBM stream at large batch."""
-    if head_major:
-        shape = (cfg.num_layers, batch, cfg.kv_heads, max_len, cfg.dim_head)
-    else:
-        shape = (cfg.num_layers, batch, max_len, cfg.kv_heads, cfg.dim_head)
+                  head_major: bool = False,
+                  layout: Optional[str] = None) -> Dict[str, jax.Array]:
+    """Preallocated cache.  ``layout`` (or the legacy ``head_major`` flag):
+
+    - ``"bshd"`` (default) — position-major ``[L, B, S, H, Dh]``: fastest
+      XLA decode path at moderate batch (fresh [B, T, H, Dh] rows DUS in
+      transpose-free; 543.9 vs 530.4 tok/s head-major at 7B B=12 int8).
+    - ``"bhsd"`` — head-major ``[L, B, H, S, Dh]``, required by the Pallas
+      decode kernel (``ops/decode_attention.py``): contiguous per-head
+      position streams make head-block × position-block HBM DMA slices
+      tile-legal.
+    - ``"shbd"`` — batch-minor ``[L, S, H, B, Dh]``: the in-loop layout XLA
+      itself switches to at large batch (decode attention vectorises over
+      batch in the lanes); allocating it up front avoids XLA keeping two
+      layout copies of the cache (observed OOM at B=22 CFG pairs, 7B int8).
+
+    Scales are ``[L, B, H, S]`` in ALL layouts (the kernel wants S on the
+    lane dim; ``xla_attention`` consumes [B, H, S]).  ``quantized=True``
+    stores K/V as int8 with per-(head, position) fp32 scales — halves the
+    decode loop's dominant HBM stream at large batch."""
+    layout = layout or ("bhsd" if head_major else "bshd")
+    L, H, D = cfg.num_layers, cfg.kv_heads, cfg.dim_head
+    shape = {
+        "bshd": (L, batch, max_len, H, D),
+        "bhsd": (L, batch, H, max_len, D),
+        "shbd": (L, max_len, H, batch, D),
+    }[layout]
     if quantized:
         sshape = (cfg.num_layers, batch, cfg.kv_heads, max_len)
         return {
@@ -261,6 +272,7 @@ def forward(
     attn_window: Optional[int] = None,
     decode_kernel: bool = False,
     cache_head_major: bool = False,
+    cache_layout: Optional[str] = None,
     cache_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """Run the decoder trunk; returns final-norm hidden states.
@@ -283,9 +295,11 @@ def forward(
     decoding, where batch rows advance unevenly.  XLA keeps the scatter
     in-place on the scan-carried cache.
 
-    ``cache_head_major`` (static) must match the ``head_major`` flag the
-    cache was built with (``init_kv_cache``) on EVERY call that touches it
-    — prefill and decode alike.  ``decode_kernel=True`` requires it.
+    ``cache_layout`` (static; or the legacy ``cache_head_major`` flag) must
+    match the layout the cache was built with (``init_kv_cache``) on EVERY
+    call that touches it — prefill and decode alike.  ``decode_kernel=True``
+    requires ``"bhsd"``; per-row ``cache_positions`` supports ``"bshd"`` and
+    ``"bhsd"``.
     """
     x = inputs_embeds.astype(cfg.dtype)
     cos, sin = rope_frequencies(cfg, positions)
@@ -336,24 +350,34 @@ def forward(
         quantized_cache = "k_s" in kv_cache  # int8 KV (init_kv_cache)
 
         per_row = cache_positions is not None
-        hm = cache_head_major
+        layout = cache_layout or ("bhsd" if cache_head_major else "bshd")
         if decode_kernel:
-            assert hm, "decode_kernel requires a head-major cache " \
-                       "(init_kv_cache(head_major=True) + cache_head_major)"
+            assert layout == "bhsd", (
+                "decode_kernel requires a head-major cache "
+                "(init_kv_cache(layout='bhsd') + cache_layout='bhsd')")
+        if per_row:
+            assert layout != "shbd", (
+                "per-row cache offsets (SJD) not supported batch-minor")
+
+        # fresh-row permutation [B,T,H,D] → cache row order, and the DUS
+        # start index for the shared-offset write
+        row_perm = {"bshd": None, "bhsd": (0, 2, 1, 3),
+                    "shbd": (1, 2, 0, 3)}[layout]
+        dus_idx = {"bshd": lambda li: (li, 0, cache_len, 0, 0),
+                   "bhsd": lambda li: (li, 0, 0, cache_len, 0),
+                   "shbd": lambda li: (li, cache_len, 0, 0, 0)}[layout]
 
         def write_kv(cache, li, kval, ks_t, vval, vs_t):
             """Write the fresh rows: shared-offset DUS (standard decode) or
-            per-row scatter (speculative Jacobi).  kval/vval: [B, H, T, Dh]
-            head-major, [B, T, H, Dh] position-major; scales always
-            [B, H, T] (cache scales are [L, B, H, S] in both layouts)."""
+            per-row scatter (speculative Jacobi).  kval/vval are in cache
+            row order (``row_perm`` applied); scales always [B, H, T]
+            (cache scales are [L, B, H, S] in every layout)."""
             if not per_row:
-                pos_idx = (li, 0, 0, cache_len, 0) if hm \
-                    else (li, 0, cache_len, 0, 0)
                 out = {
                     "k": jax.lax.dynamic_update_slice(
-                        cache["k"], kval[None], pos_idx),
+                        cache["k"], kval[None], dus_idx(li)),
                     "v": jax.lax.dynamic_update_slice(
-                        cache["v"], vval[None], pos_idx),
+                        cache["v"], vval[None], dus_idx(li)),
                 }
                 if ks_t is not None:
                     out["k_s"] = jax.lax.dynamic_update_slice(
@@ -361,6 +385,7 @@ def forward(
                     out["v_s"] = jax.lax.dynamic_update_slice(
                         cache["v_s"], vs_t[None], (li, 0, 0, cache_len))
                 return out
+            hm = layout == "bhsd"
             Bq = kval.shape[0]
             Hq, Tq = (kval.shape[1], kval.shape[2]) if hm \
                 else (kval.shape[2], kval.shape[1])
@@ -388,17 +413,20 @@ def forward(
             x, cache = carry
             lp, llora, li = layer_in
             q, k, v = qkv(x, lp, llora)
-            # head-major caches take transposed rows ([B,T,H,D] → [B,H,T,D]);
-            # position-major writes the projection output untouched
-            k_w = jnp.transpose(k, (0, 2, 1, 3)) if hm else k
-            v_w = jnp.transpose(v, (0, 2, 1, 3)) if hm else v
+            # permute the fresh [B,T,H,D] rows to the cache's row order
+            # (position-major writes the projection output untouched)
+            k_w = jnp.transpose(k, row_perm) if row_perm else k
+            v_w = jnp.transpose(v, row_perm) if row_perm else v
 
             if quantized_cache:
-                kq, ks = _quantize_rows(k_w)  # scales [B,H,T] / [B,T,H]
+                kq, ks = _quantize_rows(k_w)  # scales in cache row order
                 vq, vs = _quantize_rows(v_w)
-                if not hm:
-                    ks = jnp.transpose(ks, (0, 2, 1))  # → [B, H, T]
-                    vs = jnp.transpose(vs, (0, 2, 1))
+                # scales to [B, H, T]
+                sperm = {"bshd": (0, 2, 1), "bhsd": None,
+                         "shbd": (2, 1, 0)}[layout]
+                if sperm:
+                    ks = jnp.transpose(ks, sperm)
+                    vs = jnp.transpose(vs, sperm)
                 cache = write_kv(cache, li, kq, ks, vq, vs)
             else:
                 cache = write_kv(cache, li, k_w.astype(cache["k"].dtype), None,
@@ -434,18 +462,17 @@ def forward(
                         cache[name], li, 0, keepdims=False)
                     if W is None:
                         return sl
-                    return sl[:, :W] if s_axis == 1 else sl[:, :, :W]
+                    return (sl[:W], sl[:, :W], sl[:, :, :W])[s_axis]
 
-                pos_ax = 2 if hm else 1  # scales keep S on axis 2 always
-                if quantized_cache:
+                pos_ax = {"bshd": 1, "bhsd": 2, "shbd": 0}[layout]
+                if quantized_cache:  # scales keep S on axis 2 always
                     k_att = {"q": at("k", pos_ax), "s": at("k_s", 2)}
                     v_att = {"q": at("v", pos_ax), "s": at("v_s", 2)}
                 else:
                     k_att, v_att = at("k", pos_ax), at("v", pos_ax)
                 q_off = cache_positions if per_row else cache_len
                 x = finish_layer(x, lp, llora, q, k_att, v_att, q_off,
-                                 attention_mask,
-                                 kv_layout="bhsd" if hm else "bshd")
+                                 attention_mask, kv_layout=layout)
             return (x, cache), None
 
         if remat:

@@ -49,14 +49,15 @@ def xla_attention(
     ``{"q": int8, "s": f32 [B,KVH,S]}`` (quantized KV cache) — the scales
     fold into the score/probability matrices, so the int8 payload is
     converted in-read with no dequantised copy.  ``kv_layout`` selects the
-    position/head order of k & v: ``bshd`` (fresh self-attention chunks) or
-    ``bhsd`` (the head-major KV cache) — einsum consumes either without a
-    transposed copy."""
+    axis order of k & v: ``bshd`` (fresh self-attention chunks / the
+    position-major cache), ``bhsd`` (head-major cache) or ``shbd``
+    (batch-minor cache) — einsum consumes any of them without a transposed
+    copy."""
     B, T, H, Dh = q.shape
     k_vals, k_scale = (k["q"], k["s"]) if isinstance(k, dict) else (k, None)
     v_vals, v_scale = (v["q"], v["s"]) if isinstance(v, dict) else (v, None)
-    head_axis = 2 if kv_layout == "bshd" else 1
-    S = k_vals.shape[1 if kv_layout == "bshd" else 2]
+    head_axis = {"bshd": 2, "bhsd": 1, "shbd": 1}[kv_layout]
+    S = k_vals.shape[{"bshd": 1, "bhsd": 2, "shbd": 0}[kv_layout]]
     if k_vals.shape[head_axis] != H:  # GQA head groups
         reps = H // k_vals.shape[head_axis]
         k_vals = jnp.repeat(k_vals, reps, axis=head_axis)
@@ -67,7 +68,7 @@ def xla_attention(
         v_scale = jnp.repeat(v_scale, H // v_scale.shape[1], axis=1)
     scale = Dh ** -0.5
 
-    kv_sub = "bshd" if kv_layout == "bshd" else "bhsd"
+    kv_sub = kv_layout
     scores = jnp.einsum(
         f"bthd,{kv_sub}->bhts", q.astype(jnp.float32),
         k_vals.astype(jnp.float32)

@@ -133,3 +133,19 @@ def test_processor_image_expansion(setup):
     i0 = ids.index(proc.image_id)
     assert ids[i0 - 1] == proc.image_start_id
     assert ids[i0 + proc.num_image_tokens] == proc.image_end_id
+
+
+def test_image_engine_kv_layout_invariant(setup):
+    """Token output must be identical across KV-cache layouts (bshd /
+    bhsd / shbd are pure memory-order choices; llama.init_kv_cache)."""
+    cfg, model, proc = setup
+    prompts = [t2i_prompt(proc, "A black umbrella"), t2i_prompt(proc, "dog")]
+    for quant in (False, True):
+        outs = []
+        for layout in ("bshd", "bhsd", "shbd"):
+            eng = ImageGenEngine(model, proc, image_token_num=8, img_size=16,
+                                 patch_size=4, kv_quant=quant,
+                                 kv_layout=layout)
+            outs.append(eng.generate_tokens(prompts, seed=5))
+        np.testing.assert_array_equal(outs[0], outs[1])
+        np.testing.assert_array_equal(outs[0], outs[2])
