@@ -108,6 +108,8 @@ def main(config) -> None:
         kv_quant=(config.get("kv_quant") or "").lower() == "int8",
         decode_segments=int(config.get("decode_segments") or 1),
         speculative=int(config.get("speculative") or 0),
+        decode_kernel=bool(config.get("decode_kernel")),
+        kv_layout=config.get("kv_layout"),  # shbd = large-batch serving
     )
 
     data_path = config.data_path or os.path.join(
