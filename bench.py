@@ -108,8 +108,11 @@ def bench_train(preset: str) -> None:
     cfg = dataclasses.replace(
         cfg, vision=dataclasses.replace(cfg.vision, layers=1, width=128)
     )
-    model = janus_lib.JanusModel.init(cfg, seed=0)
+    quant_base = os.environ.get("OSPO_BENCH_QUANT") == "int8"
+    model = janus_lib.JanusModel.init(cfg, seed=0, quantize=quant_base)
     model.params["language_model"]["lm_head"] = jnp.zeros((1, 1), cfg.dtype)
+    if quant_base:
+        print("# QLoRA: int8 frozen trunk", file=sys.stderr)
 
     tok = ByteTokenizer(vocab_size=min(512, cfg.language.vocab_size))
     proc = Processor(tok, ImageProcessor(image_size=cfg.gen_image_size),
@@ -120,7 +123,10 @@ def bench_train(preset: str) -> None:
         "lora": {"lora_rank": 32, "lora_alpha": 64, "lora_dropout": 0.05},
         "optimizer": {"init_lr": 4e-5, "scheduler_type": "constant"},
         "experiment": {"seed": 0, "max_training_steps": 10,
-                       "gradient_checkpointing": True, "log_steps": 100},
+                       "gradient_checkpointing": True, "log_steps": 100,
+                       # QLoRA-style int8 frozen trunk (OSPO_BENCH_QUANT)
+                       "quantize_base":
+                           os.environ.get("OSPO_BENCH_QUANT") == "int8"},
         "algo": {"beta": 10, "gamma_beta_ratio": 0.5, "loss_type": "sigmoid"},
     })
     trainer = SimPOTrainer(config, model, proc)
@@ -199,6 +205,16 @@ def bench_score(preset: str) -> None:
     else:
         cfg = janus_lib.tiny_janus_config()
     model = janus_lib.JanusModel.init(cfg, seed=0)
+    if os.environ.get("OSPO_BENCH_QUANT") == "int8":
+        # W8A16 trunk (matmuls consume {"q","s"} dicts transparently);
+        # the ViT/aligner stay bf16
+        from ospo_tpu.ops import quant
+
+        model.params = jax.jit(
+            lambda p: {**p, "language_model": quant.quantize_llama_params(
+                p["language_model"])}
+        )(model.params)
+        print("# int8 weight quantization enabled", file=sys.stderr)
 
     tok = ByteTokenizer(vocab_size=min(512, cfg.language.vocab_size))
     proc = Processor(tok, ImageProcessor(image_size=cfg.vision.image_size),

@@ -192,11 +192,23 @@ class JanusModel:
     params: Params
 
     @classmethod
-    def init(cls, cfg: JanusConfig, seed: int = 0) -> "JanusModel":
+    def init(cls, cfg: JanusConfig, seed: int = 0,
+             quantize: bool = False) -> "JanusModel":
         # one fused jit: ~250 small init ops as a single device program
-        # (dispatching them individually is pathological on remote backends)
-        init = jax.jit(init_params, static_argnums=0)
-        return cls(cfg, init(cfg, jax.random.PRNGKey(seed)))
+        # (dispatching them individually is pathological on remote backends).
+        # ``quantize`` fuses W8A16 trunk quantization into the same program
+        # so the bf16 stacks never co-reside with their int8 replacements
+        # (13.3+6.7GB would OOM a 16GB chip).
+        def build(key):
+            p = init_params(cfg, key)
+            if quantize:
+                from ospo_tpu.ops import quant
+
+                p = {**p, "language_model":
+                     quant.quantize_llama_params(p["language_model"])}
+            return p
+
+        return cls(cfg, jax.jit(build)(jax.random.PRNGKey(seed)))
 
     @classmethod
     def from_pretrained(cls, model_path: str,

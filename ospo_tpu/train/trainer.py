@@ -111,6 +111,23 @@ class SimPOTrainer:
         # trainable state — either LoRA adapters (use_peft) or the unfrozen
         # submodules of the freeze matrix (full finetune, train.py:148-216)
         if self.use_peft:
+            already_quantized = isinstance(
+                model.params["language_model"]["layers"]["wq"], dict)
+            if bool(exp.get("quantize_base")) and not already_quantized:
+                # QLoRA-style memory lever (beyond the reference): the
+                # frozen trunk's projections go W8A16 int8 (~6.6GB saved at
+                # 7B → roughly double the train batch); LoRA matmuls and
+                # grads stay bf16/fp32, the quantized base is a constant in
+                # the backward pass.  embed/norms stay bf16 (ops/quant.py).
+                from ospo_tpu.ops import quant
+
+                # donated: the bf16 projections are freed as their int8
+                # replacements materialise (no 13.3+6.7GB double residency)
+                model.params = jax.jit(
+                    lambda p: {**p, "language_model":
+                               quant.quantize_llama_params(p["language_model"])},
+                    donate_argnums=(0,),
+                )(model.params)
             self.trainable = lora_lib.init_lora(
                 model.cfg.language, self.lora_cfg, jax.random.PRNGKey(self.seed)
             )

@@ -77,3 +77,34 @@ def test_resume_reproduces_training(tmp_path):
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_quantize_base_qlora_step(tmp_path):
+    """QLoRA-style training (int8 frozen trunk): the step must run, produce
+    a finite loss, and update the adapters; gradients flow through the
+    dequantising matmuls to LoRA only."""
+    cfg = janus.tiny_janus_config()
+    model = janus.JanusModel.init(cfg, seed=0)
+    tok = ByteTokenizer(vocab_size=cfg.language.vocab_size)
+    proc = Processor(tok, ImageProcessor(image_size=cfg.gen_image_size),
+                     num_image_tokens=cfg.num_image_tokens)
+    config = Config.from_nested({
+        "base": {"save_path": str(tmp_path), "exp_name": "qlora"},
+        "use_peft": True,
+        "lora": {"lora_rank": 4, "lora_alpha": 8, "lora_dropout": 0.0},
+        "optimizer": {"init_lr": 1e-3, "scheduler_type": "constant"},
+        "experiment": {"seed": 0, "max_training_steps": 2, "log_steps": 100,
+                       "gradient_checkpointing": False,
+                       "quantize_base": True},
+        "algo": {"beta": 10, "gamma_beta_ratio": 0.5, "loss_type": "sigmoid"},
+    })
+    trainer = SimPOTrainer(config, model, proc)
+    assert isinstance(model.params["language_model"]["layers"]["wq"], dict)
+
+    b = batch(cfg, b=2)
+    before = np.asarray(trainer.trainable["q_proj"]["b"]).copy()
+    trainer.trainable, trainer.opt_state, m = trainer._step(
+        trainer.trainable, trainer.opt_state, **b)
+    assert np.isfinite(float(m["loss"]))
+    after = np.asarray(trainer.trainable["q_proj"]["b"])
+    assert not np.array_equal(before, after)
