@@ -204,16 +204,11 @@ def bench_score(preset: str) -> None:
         cfg = janus_lib.JANUS_PRO_1B
     else:
         cfg = janus_lib.tiny_janus_config()
-    model = janus_lib.JanusModel.init(cfg, seed=0)
-    if os.environ.get("OSPO_BENCH_QUANT") == "int8":
-        # W8A16 trunk (matmuls consume {"q","s"} dicts transparently);
-        # the ViT/aligner stay bf16
-        from ospo_tpu.ops import quant
-
-        model.params = jax.jit(
-            lambda p: {**p, "language_model": quant.quantize_llama_params(
-                p["language_model"])}
-        )(model.params)
+    # W8A16 trunk fused into the init program (matmuls consume {"q","s"}
+    # dicts transparently); the ViT/aligner stay bf16
+    quant_mode = os.environ.get("OSPO_BENCH_QUANT") == "int8"
+    model = janus_lib.JanusModel.init(cfg, seed=0, quantize=quant_mode)
+    if quant_mode:
         print("# int8 weight quantization enabled", file=sys.stderr)
 
     tok = ByteTokenizer(vocab_size=min(512, cfg.language.vocab_size))
