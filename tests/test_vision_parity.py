@@ -286,3 +286,329 @@ def test_quantizer_matches_torch_l2_codebook():
 
     _, ids = jvq.quantize(params, cfg, jnp.asarray(z.numpy()).reshape(1, 5, 1, 8))
     np.testing.assert_array_equal(np.asarray(ids).ravel(), ref_ids)
+
+
+# ===========================================================================
+# Reference-code oracle tests (round-2): compare against the reference's OWN
+# torch modules — janus/models/vq_model.py (imported standalone; it is
+# torch-pure) and janus/models/siglip_vit.py (imported with a minimal timm
+# stub supplying the layers it pulls from timm).  These supersede the
+# builder-written replicas above as the ground truth for decode fidelity
+# (vq_model.py:217-299, 393-447, 505-513; siglip_vit.py:136-589).
+# ===========================================================================
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+from typing import Any
+
+REF_MODELS = Path("/root/reference/janus/models")
+
+requires_reference = pytest.mark.skipif(
+    not REF_MODELS.exists(),
+    reason="reference checkout not mounted at /root/reference — "
+    "reference-oracle parity NOT verified in this environment",
+)
+
+
+def _load_standalone(name: str, path: Path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_vq():
+    if not REF_MODELS.exists():
+        pytest.skip("no /root/reference")
+    return _load_standalone("ref_vq_model", REF_MODELS / "vq_model.py")
+
+
+def _ref_state_dict(model, prefix):
+    return {prefix + k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+@requires_reference
+def test_vq16_encode_matches_reference(ref_vq):
+    """Full VQ-16 config (ch=128, mult 1,1,2,2,4, 16384x8 L2 codebook), fp32,
+    against VQModel.encode (vq_model.py:494-498)."""
+    torch.manual_seed(0)
+    m = ref_vq.VQ_16()
+    m.eval()
+    cfg = jvq.VQ_16
+    params = weights.port_vqgan(_ref_state_dict(m, "gen_vision_model."), cfg)
+
+    x = np.random.default_rng(0).uniform(-1, 1, size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        quant_ref, _, info = m.encode(torch.tensor(x))
+    ids_ref = info[2].numpy().reshape(2, 2, 2)
+
+    z_q, ids = jvq.encode(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_array_equal(np.asarray(ids), ids_ref)
+    np.testing.assert_allclose(
+        np.asarray(z_q).transpose(0, 3, 1, 2), quant_ref.numpy(),
+        atol=1e-5, rtol=1e-5)
+
+
+@requires_reference
+def test_vq16_decode_code_matches_reference(ref_vq):
+    """decode_code parity incl. GroupNorm/swish, nearest-upsample and the
+    decoder attn placement (vq_model.py:505-513, 127-214, 393-447)."""
+    torch.manual_seed(1)
+    m = ref_vq.VQ_16()
+    m.eval()
+    cfg = jvq.VQ_16
+    params = weights.port_vqgan(_ref_state_dict(m, "gen_vision_model."), cfg)
+
+    ids = np.random.default_rng(3).integers(0, cfg.codebook_size, size=(2, 4))
+    ids = ids.astype(np.int32)
+    with torch.no_grad():
+        dec_ref = m.decode_code(torch.tensor(ids.ravel().astype(np.int64)),
+                                shape=[2, cfg.codebook_dim, 2, 2]).numpy()
+    dec = jvq.decode_code(params, cfg, jnp.asarray(ids), latent_hw=(2, 2))
+    np.testing.assert_allclose(
+        np.asarray(dec).transpose(0, 3, 1, 2), dec_ref, atol=2e-4, rtol=2e-4)
+
+
+@requires_reference
+def test_vq16_training_losses_match_reference(ref_vq):
+    """Training-branch vq/commit losses and entropy loss vs the reference
+    quantizer in train mode (vq_model.py:266-270, 450-463)."""
+    torch.manual_seed(2)
+    m = ref_vq.VQ_16()
+    m.train()
+    cfg = jvq.VQ_16
+    params = weights.port_vqgan(_ref_state_dict(m, "gen_vision_model."), cfg)
+
+    x = np.random.default_rng(5).uniform(-1, 1, size=(1, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        _, (vq_loss_ref, commit_ref, _), _ = m.encode(torch.tensor(x))
+
+    h = jvq.encoder_forward(params["encoder"], cfg,
+                            jnp.asarray(x.transpose(0, 2, 3, 1)))
+    z = jvq.conv2d(params["quant_conv"], h)
+    _, _, losses = jvq.quantize_with_losses(params, cfg, z)
+    np.testing.assert_allclose(float(losses["vq_loss"]),
+                               float(vq_loss_ref), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(losses["commit_loss"]),
+                               float(commit_ref), atol=1e-5, rtol=1e-4)
+
+    aff = np.random.default_rng(6).normal(size=(7, 13)).astype(np.float32)
+    ent_ref = ref_vq.compute_entropy_loss(torch.tensor(aff)).item()
+    np.testing.assert_allclose(float(jvq.entropy_loss(jnp.asarray(aff))),
+                               ent_ref, atol=1e-5, rtol=1e-4)
+
+
+# --------------------------- reference SigLIP ViT --------------------------
+
+
+def _install_timm_stub():
+    """Minimal torch implementations of the timm layers siglip_vit.py imports
+    (siglip_vit.py:42-51).  Only the layers actually exercised at eval time
+    carry real math (PatchEmbed/Mlp/AttentionPoolLatent); drop-path and
+    patch-drop are identity at inference, exactly as timm's are."""
+    if "timm" in sys.modules:
+        return
+
+    class Mlp(tnn.Module):
+        def __init__(self, in_features, hidden_features=None, out_features=None,
+                     act_layer=tnn.GELU, norm_layer=None, bias=True, drop=0.0,
+                     **kw):
+            super().__init__()
+            out_features = out_features or in_features
+            hidden_features = hidden_features or in_features
+            self.fc1 = tnn.Linear(in_features, hidden_features, bias=bias)
+            self.act = act_layer()
+            self.norm = norm_layer(hidden_features) if norm_layer else tnn.Identity()
+            self.fc2 = tnn.Linear(hidden_features, out_features, bias=bias)
+
+        def forward(self, x):
+            return self.fc2(self.norm(self.act(self.fc1(x))))
+
+    class PatchEmbed(tnn.Module):
+        def __init__(self, img_size=224, patch_size=16, in_chans=3,
+                     embed_dim=768, norm_layer=None, flatten=True, bias=True,
+                     **kw):
+            super().__init__()
+            self.img_size = (img_size, img_size)
+            self.patch_size = (patch_size, patch_size)
+            self.grid_size = (img_size // patch_size, img_size // patch_size)
+            self.num_patches = self.grid_size[0] * self.grid_size[1]
+            self.flatten = flatten
+            self.proj = tnn.Conv2d(in_chans, embed_dim, kernel_size=patch_size,
+                                   stride=patch_size, bias=bias)
+            self.norm = norm_layer(embed_dim) if norm_layer else tnn.Identity()
+
+        def forward(self, x):
+            x = self.proj(x)
+            if self.flatten:
+                x = x.flatten(2).transpose(1, 2)
+            return self.norm(x)
+
+    class DropPath(tnn.Module):
+        def __init__(self, drop_prob=0.0, scale_by_keep=True):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x  # eval-time identity
+
+    class PatchDropout(tnn.Module):
+        def __init__(self, *a, **kw):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    class AttentionPoolLatent(tnn.Module):
+        def __init__(self, in_features, out_features=None, embed_dim=None,
+                     num_heads=8, mlp_ratio=4.0, qkv_bias=True, latent_len=1,
+                     latent_dim=None, pool_type="token", norm_layer=None,
+                     drop=0.0, **kw):
+            super().__init__()
+            embed_dim = embed_dim or in_features
+            out_features = out_features or in_features
+            self.num_heads = num_heads
+            self.head_dim = embed_dim // num_heads
+            self.pool = pool_type
+            self.pos_embed = None
+            self.latent_dim = latent_dim or embed_dim
+            self.latent_len = latent_len
+            self.latent = tnn.Parameter(torch.zeros(1, latent_len, embed_dim))
+            self.q = tnn.Linear(embed_dim, embed_dim, bias=qkv_bias)
+            self.kv = tnn.Linear(embed_dim, embed_dim * 2, bias=qkv_bias)
+            self.proj = tnn.Linear(embed_dim, embed_dim)
+            self.norm = norm_layer(out_features) if norm_layer else tnn.Identity()
+            self.mlp = Mlp(embed_dim, int(embed_dim * mlp_ratio))
+
+        def init_weights(self):
+            pass
+
+        def forward(self, x):
+            B, N, C = x.shape
+            q = self.q(self.latent.expand(B, -1, -1)).reshape(
+                B, self.latent_len, self.num_heads, self.head_dim).transpose(1, 2)
+            kv = self.kv(x).reshape(
+                B, N, 2, self.num_heads, self.head_dim).permute(2, 0, 3, 1, 4)
+            k, v = kv.unbind(0)
+            x = tF.scaled_dot_product_attention(q, k, v)
+            x = x.transpose(1, 2).reshape(B, self.latent_len, C)
+            x = self.proj(x)
+            x = x + self.mlp(self.norm(x))
+            return x[:, 0] if self.pool == "token" else x
+
+    def resample_abs_pos_embed(*a, **kw):
+        raise NotImplementedError("dynamic_img_size is not used by Janus")
+
+    def named_apply(fn, module, name="", depth_first=True, include_root=False):
+        if not depth_first and include_root:
+            fn(module=module, name=name)
+        for child_name, child in module.named_children():
+            child_name = ".".join((name, child_name)) if name else child_name
+            named_apply(fn, child, child_name, depth_first, True)
+        if depth_first and include_root:
+            fn(module=module, name=name)
+        return module
+
+    def checkpoint_seq(blocks, x, **kw):
+        for b in blocks:
+            x = b(x)
+        return x
+
+    timm = types.ModuleType("timm")
+    layers = types.ModuleType("timm.layers")
+    models = types.ModuleType("timm.models")
+    manip = types.ModuleType("timm.models._manipulate")
+    layers.Mlp = Mlp
+    layers.PatchEmbed = PatchEmbed
+    layers.DropPath = DropPath
+    layers.PatchDropout = PatchDropout
+    layers.AttentionPoolLatent = AttentionPoolLatent
+    layers.resample_abs_pos_embed = resample_abs_pos_embed
+    layers.LayerType = Any
+    manip.named_apply = named_apply
+    manip.checkpoint_seq = checkpoint_seq
+    timm.layers = layers
+    timm.models = models
+    models._manipulate = manip
+    sys.modules["timm"] = timm
+    sys.modules["timm.layers"] = layers
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models._manipulate"] = manip
+
+
+@pytest.fixture(scope="module")
+def ref_siglip():
+    if not REF_MODELS.exists():
+        pytest.skip("no /root/reference")
+    _install_timm_stub()
+    return _load_standalone("ref_siglip_vit", REF_MODELS / "siglip_vit.py")
+
+
+def _make_ref_vit(ref_siglip, *, img=32, patch=16, dim=64, depth=3, heads=4,
+                  mlp_ratio=3.7362, seed=0):
+    torch.manual_seed(seed)
+    m = ref_siglip.VisionTransformer(
+        img_size=img, patch_size=patch, embed_dim=dim, depth=depth,
+        num_heads=heads, mlp_ratio=mlp_ratio, class_token=False,
+        global_pool="map", ignore_head=True, weight_init="skip",
+        num_classes=0)
+    for p in m.parameters():
+        tnn.init.normal_(p, std=0.02)
+    m.eval()
+    return m
+
+
+@requires_reference
+def test_siglip_vit_matches_reference(ref_siglip):
+    """Patch embed → pos embed → blocks → final norm against the reference's
+    own VisionTransformer.forward_features (siglip_vit.py:562-572), with the
+    so400m fractional mlp_ratio."""
+    m = _make_ref_vit(ref_siglip)
+    cfg = jvit.ViTConfig(image_size=32, patch_size=16, width=64, layers=3,
+                         heads=4, mlp_ratio=3.7362, select_layer=-1,
+                         dtype=jnp.float32)
+    params = weights.port_vit(_ref_state_dict(m, "vision_model.vision_tower."),
+                              cfg)
+
+    x = np.random.default_rng(7).normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = m(torch.tensor(x)).numpy()  # ignore_head=True → features
+    out = jvit.forward(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+@requires_reference
+def test_siglip_attn_pool_matches_reference(ref_siglip):
+    """Latent attention-pool head ("map" global pool, siglip_vit.py:415-422)
+    against the reference model's attn_pool on shared random features."""
+    m = _make_ref_vit(ref_siglip, seed=1)
+    cfg = jvit.ViTConfig(image_size=32, patch_size=16, width=64, layers=3,
+                         heads=4, mlp_ratio=3.7362, select_layer=-1,
+                         dtype=jnp.float32)
+    params = weights.port_vit(_ref_state_dict(m, "vision_model.vision_tower."),
+                              cfg)
+    assert "attn_pool" in params, "port_vit must pick up attn_pool.* keys"
+
+    feats = np.random.default_rng(8).normal(size=(2, 4, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = m.attn_pool(torch.tensor(feats)).numpy()
+    out = jvit.attention_pool(params["attn_pool"], cfg, jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+@requires_reference
+def test_siglip_select_layer_truncation_matches_reference(ref_siglip):
+    """Depth truncation formula parity with create_siglip_vit
+    (siglip_vit.py:653-656) across select_layer values."""
+    for layers in (3, 27, 24):
+        for sel in (-1, -2, -4, 2):
+            if sel <= 0:
+                ref_depth = min(layers, layers + sel + 1)
+            else:
+                ref_depth = min(layers, sel)
+            cfg = jvit.ViTConfig(layers=layers, select_layer=sel)
+            assert cfg.depth == ref_depth, (layers, sel)
