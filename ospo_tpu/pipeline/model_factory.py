@@ -45,22 +45,42 @@ def has_weights(model_path: Optional[str]) -> bool:
 
 
 def build_model(config) -> janus_lib.JanusModel:
+    """Fail-fast resolution: a set ``model_path`` MUST contain weights (a
+    typo'd path must never silently degrade to a random-init model), and
+    random-init runs must opt in with an explicit ``model_preset``."""
     model_path = config.get("model_path") if hasattr(config, "get") else None
-    if has_weights(model_path):
+    if model_path:
+        if not has_weights(model_path):
+            raise FileNotFoundError(
+                f"model_path={model_path!r} contains no *.safetensors / "
+                "pytorch_model*.bin. Refusing to substitute a random-init "
+                "model for a requested checkpoint — fix the path, or unset "
+                "model_path and set model_preset: <tiny|1b|7b> to opt in to "
+                "an explicit random-init run."
+            )
         print(f"# Loading Janus-Pro weights from {model_path}")
         return janus_lib.JanusModel.from_pretrained(model_path)
 
-    preset = (config.get("model_preset") or "tiny") if hasattr(config, "get") else "tiny"
+    preset = config.get("model_preset") if hasattr(config, "get") else None
+    if not preset:
+        raise ValueError(
+            "Neither model_path nor model_preset is set. Set model_path to "
+            "a Janus-Pro checkpoint, or model_preset: <tiny|1b|7b> for an "
+            "explicit random-init run."
+        )
     seed = config.get("seed") if hasattr(config, "get") else 42
     if isinstance(seed, (list, tuple)):  # inference configs carry seed lists
         seed = seed[0] if seed else 42
     seed = int(seed or 42)
     if preset in PRESETS:
-        print(f"# No checkpoint at model_path — random-init preset '{preset}'.")
+        print(f"# Random-init preset '{preset}' (explicit model_preset).")
         cfg = PRESETS[preset]
-    else:
-        print("# No checkpoint at model_path — using tiny random-init model.")
+    elif preset == "tiny":
+        print("# Random-init tiny model (explicit model_preset).")
         cfg = janus_lib.tiny_janus_config()
+    else:
+        raise ValueError(f"unknown model_preset {preset!r} "
+                         f"(expected tiny | {' | '.join(PRESETS)})")
     return janus_lib.JanusModel.init(cfg, seed=seed)
 
 
