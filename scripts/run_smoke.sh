@@ -46,6 +46,29 @@ combine_prompt(cfg)
 PY
 
 python -m ospo_tpu.pipeline.step2 --cfg_path configs/smoke/step2.yaml
+
+# random-model junk may blank every long/negative prompt (the blanking rules
+# of step 2 are data-dependent) — backfill from the base prompt so step 3
+# has material and the round stays non-degenerate (smoke only)
+python - <<'PY'
+import json
+p = "outputs-smoke/step2/long_prompt.json"
+lp = json.load(open(p))
+fixed = 0
+for rec in lp:
+    for i in range(len(rec["long_prompt"])):
+        if not rec["long_prompt"][i]:
+            rec["long_prompt"][i] = rec["prompt"]
+            fixed += 1
+        if not rec["negative_long_prompt"][i]:
+            neg = rec.get("negative_prompt", [None] * 3)[i]
+            rec["negative_long_prompt"][i] = neg or (rec["prompt"] + " (negative)")
+            fixed += 1
+if fixed:
+    json.dump(lp, open(p, "w"), indent=4)
+    print(f"# backfilled {fixed} blank long prompts")
+PY
+
 python -m ospo_tpu.pipeline.step3 --cfg_path configs/smoke/step3.yaml
 python -m ospo_tpu.pipeline.step4 --cfg_path configs/smoke/step4.yaml
 
@@ -70,5 +93,59 @@ if not data:
 PY
 
 python -m ospo_tpu.pipeline.step5 --cfg_path configs/smoke/step5.yaml
+
+# ---- non-degeneracy gate: a round that produced nothing must FAIL ----
+python - <<'PY'
+import glob, json, os, re, sys
+
+errors = []
+
+base = json.load(open("outputs-smoke/step1/base_prompt.json"))
+if not base:
+    errors.append("step1: base_prompt.json is empty")
+
+lp = json.load(open("outputs-smoke/step2/long_prompt.json"))
+if not lp:
+    errors.append("step2: long_prompt.json is empty")
+
+pngs = glob.glob("outputs-smoke/step3/*/*/*/*.png")
+n_expected = sum(
+    sum(1 for p in rec.get("long_prompt", []) if p)
+    + sum(1 for p in rec.get("negative_long_prompt", []) if p)
+    for rec in lp
+)
+if not pngs:
+    errors.append("step3: zero PNGs generated")
+elif n_expected and len(pngs) < max(1, n_expected // 2):
+    errors.append(f"step3: only {len(pngs)} PNGs for {n_expected} prompts")
+
+train = json.load(open("outputs-smoke/step4/train.json"))
+if not train:
+    errors.append("step4: train.json empty even after fallback synthesis")
+for rec in train:
+    if not (os.path.exists(rec["chosen"]) and os.path.exists(rec["rejected"])):
+        errors.append(f"step4: missing image for item {rec['item_id']}")
+        break
+
+steps = []
+for d in glob.glob("outputs-smoke/step5/*/step_*"):
+    m = re.search(r"step_(\d+)$", d)
+    if m and os.path.exists(os.path.join(d, "lora.npz")):
+        steps.append(int(m.group(1)))
+if not steps:
+    errors.append("step5: no checkpoint written")
+elif max(steps) < 1:
+    errors.append(f"step5: trainer never advanced (max global_step {max(steps)})")
+
+if errors:
+    print("SMOKE RUN DEGENERATE:")
+    for e in errors:
+        print("  -", e)
+    sys.exit(1)
+print(f"# non-degeneracy: {len(base)} base prompts, {len(lp)} long-prompt "
+      f"items, {len(pngs)} PNGs, {len(train)} train pairs, "
+      f"final checkpoint step {max(steps)}")
+PY
+
 echo "SMOKE RUN COMPLETE"
 find outputs-smoke -name "*.json" | sort
