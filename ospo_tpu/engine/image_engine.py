@@ -82,11 +82,14 @@ class ImageGenEngine:
         # cache offsets. arXiv:2410.01699 for the algorithm family.
         self.speculative = int(speculative)
         # KV-cache layout (llama.init_kv_cache): default position-major
-        # "bshd"; the kernel needs head-major "bhsd"; batch-minor "shbd"
-        # avoids XLA's in-loop layout copies at very large batch
-        self.kv_layout = kv_layout or ("bhsd" if decode_kernel else "bshd")
+        # "bshd"; the Pallas kernel needs batch-minor "shbd" (its position
+        # blocks are contiguous DMAs there); "shbd" also avoids XLA's
+        # in-loop layout copies at very large batch on the non-kernel path
+        self.kv_layout = kv_layout or ("shbd" if decode_kernel else "bshd")
         if decode_kernel:
-            assert self.kv_layout == "bhsd", "decode_kernel needs bhsd"
+            assert self.kv_layout == "shbd", "decode_kernel needs shbd"
+            assert not self.speculative, \
+                "decode_kernel does not support speculative decoding"
         if self.speculative:
             assert self.kv_layout != "shbd", \
                 "speculative decoding needs per-row offsets (bshd/bhsd)"
@@ -129,8 +132,8 @@ class ImageGenEngine:
         b = two_b // 2
         n_img = self.image_token_num
         s_max = t_prompt + n_img
-        if self.decode_kernel:  # kernel DMA blocks need a 128-aligned window
-            s_max = ((s_max + 127) // 128) * 128
+        if self.decode_kernel:  # kernel DMA blocks need a 64-aligned window
+            s_max = ((s_max + 63) // 64) * 64
 
         inputs_embeds = janus_lib.embed_text(params, tokens)
         positions = llama.positions_from_mask(attn_mask)
@@ -197,8 +200,11 @@ class ImageGenEngine:
         for end in bounds:
             if end <= start:
                 continue
-            # window covers every row written during this segment (+64 align)
-            window = min(s_max, ((t_prompt + end + 63) // 64) * 64)
+            # window covers every row written during this segment (+64 align);
+            # the Pallas kernel streams the exact populated prefix itself, so
+            # its mask/window always span the whole cache
+            window = s_max if self.decode_kernel else \
+                min(s_max, ((t_prompt + end + 63) // 64) * 64)
             carry, seg_toks = jax.lax.scan(
                 make_body(window), carry,
                 (keys[start:end], jnp.arange(start, end, dtype=jnp.int32)),

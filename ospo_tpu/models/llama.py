@@ -215,10 +215,12 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
       batch in the lanes); allocating it up front avoids XLA keeping two
       layout copies of the cache (observed OOM at B=22 CFG pairs, 7B int8).
 
-    Scales are ``[L, B, H, S]`` in ALL layouts (the kernel wants S on the
-    lane dim; ``xla_attention`` consumes [B, H, S]).  ``quantized=True``
-    stores K/V as int8 with per-(head, position) fp32 scales — halves the
-    decode loop's dominant HBM stream at large batch."""
+    Scales are ``[L, B, H, S]`` for ``bshd``/``bhsd`` (``xla_attention``
+    consumes [B, H, S]) and layout-matched ``[L, S, H, B]`` for ``shbd``
+    (so the Pallas decode kernel's position-block scale DMAs are contiguous,
+    like the payload's).  ``quantized=True`` stores K/V as int8 with
+    per-(position, head) fp32 scales — halves the decode loop's dominant
+    HBM stream at large batch."""
     layout = layout or ("bhsd" if head_major else "bshd")
     L, H, D = cfg.num_layers, cfg.kv_heads, cfg.dim_head
     shape = {
@@ -227,7 +229,8 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
         "shbd": (L, max_len, H, batch, D),
     }[layout]
     if quantized:
-        sshape = (cfg.num_layers, batch, cfg.kv_heads, max_len)
+        sshape = (L, max_len, H, batch) if layout == "shbd" \
+            else (L, batch, H, max_len)
         return {
             "k": jnp.zeros(shape, jnp.int8),
             "k_s": jnp.zeros(sshape, jnp.float32),
@@ -352,9 +355,11 @@ def forward(
         per_row = cache_positions is not None
         layout = cache_layout or ("bhsd" if cache_head_major else "bshd")
         if decode_kernel:
-            assert layout == "bhsd", (
-                "decode_kernel requires a head-major cache "
-                "(init_kv_cache(layout='bhsd') + cache_layout='bhsd')")
+            assert layout == "shbd", (
+                "decode_kernel requires the batch-minor cache "
+                "(init_kv_cache(layout='shbd') + cache_layout='shbd')")
+            assert not per_row, (
+                "decode_kernel does not support per-row offsets (SJD)")
         if per_row:
             assert layout != "shbd", (
                 "per-row cache offsets (SJD) not supported batch-minor")
@@ -370,9 +375,12 @@ def forward(
         def write_kv(cache, li, kval, ks_t, vval, vs_t):
             """Write the fresh rows: shared-offset DUS (standard decode) or
             per-row scatter (speculative Jacobi).  kval/vval are in cache
-            row order (``row_perm`` applied); scales always [B, H, T]
-            (cache scales are [L, B, H, S] in every layout)."""
+            row order (``row_perm`` applied); scales are [B, H, T] for the
+            batch-major layouts, [T, H, B] for ``shbd`` (layout-matched,
+            see ``init_kv_cache``)."""
             if not per_row:
+                s_idx = (li, cache_len, 0, 0) if layout == "shbd" \
+                    else (li, 0, 0, cache_len)
                 out = {
                     "k": jax.lax.dynamic_update_slice(
                         cache["k"], kval[None], dus_idx(li)),
@@ -381,9 +389,9 @@ def forward(
                 }
                 if ks_t is not None:
                     out["k_s"] = jax.lax.dynamic_update_slice(
-                        cache["k_s"], ks_t[None], (li, 0, 0, cache_len))
+                        cache["k_s"], ks_t[None], s_idx)
                     out["v_s"] = jax.lax.dynamic_update_slice(
-                        cache["v_s"], vs_t[None], (li, 0, 0, cache_len))
+                        cache["v_s"], vs_t[None], s_idx)
                 return out
             hm = layout == "bhsd"
             Bq = kval.shape[0]
@@ -421,9 +429,9 @@ def forward(
             if quantized_cache:
                 kq, ks = _quantize_rows(k_w)  # scales in cache row order
                 vq, vs = _quantize_rows(v_w)
-                # scales to [B, H, T]
+                # scales to [B, H, T] (shbd keeps its row order [T, H, B])
                 sperm = {"bshd": (0, 2, 1), "bhsd": None,
-                         "shbd": (2, 1, 0)}[layout]
+                         "shbd": None}[layout]
                 if sperm:
                     ks = jnp.transpose(ks, sperm)
                     vs = jnp.transpose(vs, sperm)
@@ -436,8 +444,9 @@ def forward(
                 x = finish_layer(x, lp, llora, q, k, v, 0, attention_mask)
             elif decode_kernel and T == 1:
                 # Pallas decode attention: DMAs only the populated cache
-                # prefix from HBM (the whole stacked cache is passed
-                # pointer-wise; see ops/decode_attention.py)
+                # prefix from HBM in contiguous position blocks (the whole
+                # stacked shbd cache is passed pointer-wise — no per-layer
+                # slice copy; see ops/decode_attention.py)
                 from ospo_tpu.ops.decode_attention import decode_attention
 
                 assert cfg.kv_heads == cfg.num_heads, (
@@ -465,9 +474,18 @@ def forward(
                     return (sl[:W], sl[:, :W], sl[:, :, :W])[s_axis]
 
                 pos_ax = {"bshd": 1, "bhsd": 2, "shbd": 0}[layout]
-                if quantized_cache:  # scales keep S on axis 2 always
-                    k_att = {"q": at("k", pos_ax), "s": at("k_s", 2)}
-                    v_att = {"q": at("v", pos_ax), "s": at("v_s", 2)}
+                if quantized_cache:
+                    # scales are [B,H,S] (batch-major layouts) or [S,H,B]
+                    # (shbd) — xla_attention consumes [B,H,S]
+                    s_ax = 0 if layout == "shbd" else 2
+
+                    def scales(name):
+                        s = at(name, s_ax)
+                        return jnp.transpose(s, (2, 1, 0)) \
+                            if layout == "shbd" else s
+
+                    k_att = {"q": at("k", pos_ax), "s": scales("k_s")}
+                    v_att = {"q": at("v", pos_ax), "s": scales("v_s")}
                 else:
                     k_att, v_att = at("k", pos_ax), at("v", pos_ax)
                 q_off = cache_positions if per_row else cache_len
