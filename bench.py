@@ -8,12 +8,14 @@ weight-value-independent).
 
 Prints ONE JSON line:
   {"metric": "img-tokens/sec/chip", "value": N, "unit": "tok/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "ref_est_toks": N, "step_ms": N, "hbm_bw_pct": N}
 
-``vs_baseline`` is measured against an A100 estimate for the reference's
-eager-torch decode loop of the same model (~24 img-tokens/sec at B=1,
-i.e. ~24s/image: 576-token HF loop with per-token python dispatch); the
-north-star target is ≥2× that (BASELINE.md).
+``vs_baseline`` divides by a BATCH-MATCHED model of the reference's
+eager-torch decode loop on an A100-80G (bandwidth + fixed eager
+overhead; constants and derivation below and in BENCH_NOTES.md — the
+reference publishes no numbers, see BASELINE.md).  ``hbm_bw_pct`` is the
+fraction of v5e HBM bandwidth this run achieves given its actual
+weight/KV footprint.  North-star target: vs_baseline ≥ 2.
 
 Env knobs: OSPO_BENCH_PRESET (7b|1b|tiny), OSPO_BENCH_BATCH (auto-tuned
 downward on OOM), OSPO_BENCH_TOKENS (default 576), OSPO_BENCH_PROMPT_LEN.
@@ -30,9 +32,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# A100 estimate for the reference implementation (see module docstring).
-A100_REFERENCE_TOKS = 24.0
+# --- Baseline model (batch-matched; full derivation in BENCH_NOTES.md) ---
+# The reference publishes no numbers (BASELINE.md), so the denominator is a
+# modeled estimate of ITS eager-torch decode loop
+# (ospo/wrapper/image_generation.py:149-171) on an A100-80G at the SAME
+# batch as this bench, decomposed as bandwidth + fixed eager overhead:
+#   step_ms(B) = bytes_per_step(B) / 2039 GB/s + OVERHEAD_MS
+# bytes_per_step = 13.2 GB bf16 trunk weights + bf16 KV for 2B CFG rows at
+# the mean populated length.  OVERHEAD_MS = 35 ms is calibrated so B=1
+# reproduces the ~24 img-tok/s (~24 s/image) figure assumed for the
+# reference in round 1 — eager per-token dispatch is launch-bound, so the
+# overhead is modeled batch-independent.  At B=24 this gives ~527 tok/s
+# (the pure A100 roofline with zero overhead would be ~2286 tok/s — an
+# eager HF-style loop does not approach it).  vs_baseline divides by the
+# batch-matched estimate; target is >= 2x (BASELINE.md north star).
+A100_BW_GBPS = 2039.0
+A100_OVERHEAD_MS = 35.0
+REF_WEIGHT_GB = 13.2
 TARGET_MULTIPLE = 2.0
+# v5e HBM bandwidth for the utilisation figure reported alongside tok/s
+V5E_BW_GBPS = 819.0
+
+
+def modeled_ref_toks(batch: int, prompt_len: int, n_tokens: int,
+                     cfg) -> float:
+    """Reference throughput estimate at the same (batch, seq) point."""
+    rows = 2 * batch  # cond + uncond CFG rows
+    s_avg = prompt_len + n_tokens / 2
+    kv_gb = (2 * cfg.num_layers * rows * s_avg * cfg.kv_heads
+             * cfg.dim_head * 2) / 1e9
+    step_ms = (REF_WEIGHT_GB + kv_gb) / A100_BW_GBPS * 1e3 + A100_OVERHEAD_MS
+    return batch / step_ms * 1e3
 
 
 def build_bench_model(preset: str):
@@ -284,6 +314,10 @@ def main() -> None:
         batch_bucketing=False,  # measure the exact requested batch
         kv_quant=os.environ.get("OSPO_BENCH_KV") == "int8",
         decode_kernel=os.environ.get("OSPO_BENCH_DECODE_KERNEL") == "1",
+        # growing-window segmented decode: +25% at B=24 shbd int8 (898 vs
+        # 721 tok/s on v5e); no-op for the Pallas kernel (it streams the
+        # populated prefix itself) and unsupported under SJD
+        decode_segments=int(os.environ.get("OSPO_BENCH_SEGMENTS", "8")),
         speculative=int(os.environ.get("OSPO_BENCH_SJD", "0")),
         # batch-minor cache: avoids XLA's in-loop layout copies of the int8
         # cache at large batch (721.2 tok/s at B=24 vs 681.5 position-major).
@@ -307,6 +341,7 @@ def main() -> None:
 
     value = None
     used_batch = None
+    step_ms = None
     for b in batches:
         try:
             prompts = [prompt] * b
@@ -322,6 +357,7 @@ def main() -> None:
             assert out.shape == (b, n_tokens)
             dt = min(times)
             value = b * n_tokens / dt
+            step_ms = dt / n_tokens * 1e3
             used_batch = b
             print(
                 f"# preset={preset} batch={b} prompt_len={prompt_len} "
@@ -339,11 +375,32 @@ def main() -> None:
                           "error": "all batch sizes failed"}))
         return
 
+    # achieved HBM bandwidth fraction: weights actually resident (counts
+    # the int8 payload+scales when quantized) + KV at mean populated length
+    lcfg = model.cfg.language
+    wbytes = sum(leaf.size * leaf.dtype.itemsize
+                 for leaf in jax.tree.leaves(model.params["language_model"]))
+    wbytes += sum(leaf.size * leaf.dtype.itemsize
+                  for leaf in jax.tree.leaves(
+                      {k: model.params[k]
+                       for k in ("gen_aligner", "gen_head", "gen_embed")}))
+    kv_item = 1 if os.environ.get("OSPO_BENCH_KV") == "int8" else 2
+    s_avg = prompt_len + n_tokens / 2
+    kv_bytes = (2 * used_batch * 2 * lcfg.num_layers * s_avg
+                * lcfg.kv_heads * lcfg.dim_head * kv_item)
+    bw_pct = (wbytes + kv_bytes) / 1e9 / V5E_BW_GBPS / (step_ms / 1e3) * 100
+
+    ref_toks = modeled_ref_toks(used_batch, prompt_len, n_tokens, lcfg)
     print(json.dumps({
         "metric": "img-tokens/sec/chip",
         "value": round(value, 2),
         "unit": "tok/s",
-        "vs_baseline": round(value / (TARGET_MULTIPLE * A100_REFERENCE_TOKS), 3),
+        # ratio to the batch-matched modeled A100 reference (see header);
+        # BASELINE.md north star is vs_baseline >= 2.0
+        "vs_baseline": round(value / ref_toks, 3),
+        "ref_est_toks": round(ref_toks, 1),
+        "step_ms": round(step_ms, 2),
+        "hbm_bw_pct": round(bw_pct, 1),
         "batch": used_batch,
         "preset": preset,
     }))

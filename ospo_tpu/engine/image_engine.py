@@ -66,11 +66,14 @@ class ImageGenEngine:
         # int8 KV cache: halves the decode loop's dominant HBM stream at
         # large batch (cache reads exceed weight reads past ~4 CFG pairs)
         self.kv_quant = kv_quant
-        # segmented decode: the 576-step loop can run as N scans with
-        # growing attention windows. Measured on v5e: XLA does not fuse the
-        # prefix slice into the attention reads, so this currently does NOT
-        # reduce KV traffic (543.9 → 515.7 tok/s at B=12) — default 1; a
-        # Pallas decode-attention kernel is the real fix (round 2).
+        # segmented decode: the 576-step loop runs as N scans with growing
+        # attention windows, so early segments read only a prefix of the
+        # cache. Effectiveness is layout-dependent (the window slice must
+        # be copy-free): with the batch-minor "shbd" int8 cache at B=24 on
+        # v5e, segments=8 measured 898 tok/s vs 721 unsegmented (+25%);
+        # with the position-major "bshd" cache at B=12 it LOST (543.9 →
+        # 515.7 tok/s — XLA materialises the slice). Saturates by ~8
+        # segments (windows are 64-aligned).
         self.decode_segments = max(1, int(decode_segments))
         # Pallas decode-attention kernel: stream only the populated cache
         # prefix per step (ops/decode_attention.py)

@@ -22,6 +22,7 @@ Numerics are verified against ``transformers.LlamaForCausalLM`` in
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -417,6 +418,112 @@ def forward(
                 out["v_s"] = cache["v_s"].at[li, b3, h3, s3].set(vs_t)
             return out
 
+        # Optional copy-free decode path (T == 1, shared offset, no Pallas
+        # kernel): the cache is read as scan *xs* (immutable — its
+        # per-layer slice fuses into the attention einsums, no materialised
+        # copy) and the fresh rows come out as ys, written back in ONE
+        # dynamic_update_slice after the layer scan; the current token's
+        # K/V are merged at the score level
+        # (ops.attention.decode_step_attention).  Measured on v5e at the
+        # 7B B=24 int8 serving point: the per-layer slice copies this
+        # removes turn out to overlap well in XLA's schedule, so it is
+        # ~2.5% SLOWER end-to-end (965 vs 992 tok/s) while cold-compiling
+        # 3.4× faster (178 s vs 616 s) — default off, enable with
+        # OSPO_FAST_DECODE=1 where compile latency matters more than peak
+        # throughput.
+        fast_decode = T == 1 and not self_attn and not per_row \
+            and not decode_kernel \
+            and os.environ.get("OSPO_FAST_DECODE", "0") == "1"
+        cache0 = {k_: v_ for k_, v_ in kv_cache.items() if k_ != "length"}
+        if fast_decode:
+            from ospo_tpu.ops.attention import decode_step_attention
+
+            W = attn_window
+            pos_ax = {"bshd": 1, "bhsd": 2, "shbd": 0}[layout]
+            s_ax = 0 if layout == "shbd" else 2
+            # _quantize_rows scales are [B, T, H]; cache scale order is
+            # [B, H, T] batch-major, [T, H, B] batch-minor
+            sperm = (1, 2, 0) if layout == "shbd" else (0, 2, 1)
+
+            def win(sl, s_axis):
+                if W is None:
+                    return sl
+                return (sl[:W], sl[:, :W], sl[:, :, :W])[s_axis]
+
+            def layer_fast(x, layer_in):
+                lp, llora, kc, vc, ksc, vsc = layer_in
+                q, k, v = qkv(x, lp, llora)
+                if quantized_cache:
+                    kq, ks = _quantize_rows(k)          # [B,T,H,*]
+                    vq, vs = _quantize_rows(v)
+                    # self K/V = what a cache reader would see (dequantised)
+                    k_self = kq.astype(jnp.float32) * ks[..., None]
+                    v_self = vq.astype(jnp.float32) * vs[..., None]
+
+                    def scales(s):
+                        s = win(s, s_ax)
+                        return jnp.transpose(s, (2, 1, 0)) \
+                            if layout == "shbd" else s
+
+                    k_att = {"q": win(kc, pos_ax), "s": scales(ksc)}
+                    v_att = {"q": win(vc, pos_ax), "s": scales(vsc)}
+                else:
+                    k_self = k.astype(cache0["k"].dtype)
+                    v_self = v.astype(cache0["v"].dtype)
+                    k_att, v_att = win(kc, pos_ax), win(vc, pos_ax)
+                attn_out = decode_step_attention(
+                    q, k_att, v_att, k_self, v_self, attention_mask,
+                    cache_len, kv_layout=layout)
+                x = post_attention(x, lp, llora, attn_out)
+                if quantized_cache:
+                    kw = jnp.transpose(kq, row_perm) if row_perm else kq
+                    vw = jnp.transpose(vq, row_perm) if row_perm else vq
+                    return x, (kw, jnp.transpose(ks, sperm),
+                               vw, jnp.transpose(vs, sperm))
+                return x, (jnp.transpose(k_self, row_perm)
+                           if row_perm else k_self,
+                           jnp.transpose(v_self, row_perm)
+                           if row_perm else v_self)
+
+            # dummy per-layer zeros where an xs leaf is absent (bf16 cache
+            # has no scales) — scan needs every leaf to carry the L axis
+            dummy = jnp.zeros((cfg.num_layers,), jnp.float32)
+            xs_cache = (cache0["k"], cache0["v"],
+                        cache0.get("k_s", dummy), cache0.get("v_s", dummy))
+            if lora is None:
+                x_final, fresh = jax.lax.scan(
+                    lambda c, t: layer_fast(c, (t[0], None) + t[1:]),
+                    x, (params["layers"],) + xs_cache,
+                )
+            else:
+                x_final, fresh = jax.lax.scan(
+                    layer_fast, x, (params["layers"], lora) + xs_cache,
+                )
+            # one write for all layers' fresh rows
+            ys_idx = {"bshd": (0, 0, cache_len, 0, 0),
+                      "bhsd": (0, 0, 0, cache_len, 0),
+                      "shbd": (0, cache_len, 0, 0, 0)}[layout]
+            new_cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache0["k"], fresh[0], ys_idx),
+                "length": kv_cache["length"] + T,
+            }
+            if quantized_cache:
+                s_idx = (0, cache_len, 0, 0) if layout == "shbd" \
+                    else (0, 0, 0, cache_len)
+                new_cache["v"] = jax.lax.dynamic_update_slice(
+                    cache0["v"], fresh[2], ys_idx)
+                new_cache["k_s"] = jax.lax.dynamic_update_slice(
+                    cache0["k_s"], fresh[1], s_idx)
+                new_cache["v_s"] = jax.lax.dynamic_update_slice(
+                    cache0["v_s"], fresh[3], s_idx)
+            else:
+                new_cache["v"] = jax.lax.dynamic_update_slice(
+                    cache0["v"], fresh[1], ys_idx)
+            x_final = rms_norm(x_final, params["final_norm"],
+                               cfg.rms_norm_eps)
+            return x_final, new_cache
+
         def layer_body(carry, layer_in):
             x, cache = carry
             lp, llora, li = layer_in
@@ -496,7 +603,6 @@ def forward(
         if remat:
             layer_body = jax.checkpoint(layer_body)
         layer_idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
-        cache0 = {k_: v_ for k_, v_ in kv_cache.items() if k_ != "length"}
         if lora is None:
             (x_final, cache_out), _ = jax.lax.scan(
                 lambda c, t: layer_body(c, (t[0], None, t[1])),

@@ -97,6 +97,81 @@ def xla_attention(
     return out.astype(q.dtype)
 
 
+def decode_step_attention(
+    q: jax.Array,                      # [B, 1, H, Dh]
+    k,                                 # cache window (array or int8 dict)
+    v,
+    k_self: jax.Array,                 # [B, 1, KVH, Dh] fp32 — current token
+    v_self: jax.Array,
+    mask: Optional[jax.Array],         # [B, S] prefix-row validity
+    q_offset,                          # scalar: populated prefix length
+    kv_layout: str = "bshd",
+) -> jax.Array:
+    """Single-token decode attention where the current token's K/V are NOT
+    yet written to the cache: prefix scores over the (read-only) cache
+    window plus the token's self-score, merged at the score level.
+
+    The cache window is consumed in place — its slice fuses into the score
+    / output einsum reads, so the layer loop never materialises a sliced
+    K/V copy (the reason this exists: XLA cannot alias a scan-carried
+    cache that is updated in-loop with the attention reads, costing ~4.8
+    ms/step of pure copies at the 7B B=24 serving point; see
+    ``llama.forward``'s fast decode path, which passes the cache as scan
+    xs and defers the write).
+
+    ``k_self`` / ``v_self`` must hold the values a reader of the cache
+    would see (i.e. dequantised int8 for a quantised cache) so results
+    match the write-then-read path bit-for-bit up to reduction order.
+    Prefix rows ``j`` are allowed iff ``mask[b, j]`` and ``j < q_offset``
+    (strict: row ``q_offset`` is unwritten); the self term is always
+    allowed."""
+    B, T, H, Dh = q.shape
+    assert T == 1, "decode_step_attention handles single-token queries"
+    k_vals, k_scale = (k["q"], k["s"]) if isinstance(k, dict) else (k, None)
+    v_vals, v_scale = (v["q"], v["s"]) if isinstance(v, dict) else (v, None)
+    head_axis = {"bshd": 2, "bhsd": 1, "shbd": 1}[kv_layout]
+    S = k_vals.shape[{"bshd": 1, "bhsd": 2, "shbd": 0}[kv_layout]]
+    if k_vals.shape[head_axis] != H:  # GQA head groups
+        reps = H // k_vals.shape[head_axis]
+        k_vals = jnp.repeat(k_vals, reps, axis=head_axis)
+        v_vals = jnp.repeat(v_vals, reps, axis=head_axis)
+    if k_scale is not None and k_scale.shape[1] != H:
+        k_scale = jnp.repeat(k_scale, H // k_scale.shape[1], axis=1)
+    if v_scale is not None and v_scale.shape[1] != H:
+        v_scale = jnp.repeat(v_scale, H // v_scale.shape[1], axis=1)
+    if k_self.shape[2] != H:
+        reps = H // k_self.shape[2]
+        k_self = jnp.repeat(k_self, reps, axis=2)
+        v_self = jnp.repeat(v_self, reps, axis=2)
+    scale = Dh ** -0.5
+
+    qf = q.astype(jnp.float32)
+    scores = jnp.einsum(
+        f"bthd,{kv_layout}->bhts", qf, k_vals.astype(jnp.float32)
+    ) * scale                                              # [B, H, 1, S]
+    if k_scale is not None:
+        scores = scores * k_scale[:, :, None, :]
+    k_rows = jnp.arange(S)[None, None, None, :]
+    allowed = k_rows < jnp.asarray(q_offset)
+    if mask is not None:
+        allowed = allowed & mask[:, None, None, :].astype(bool)
+    scores = jnp.where(allowed, scores, _NEG_INF)
+
+    s_self = (jnp.einsum("bthd,bthd->bht", qf,
+                         k_self.astype(jnp.float32)) * scale)[..., None]
+    # einsum output order is [B, H, T]; with T == 1 this is [B, H, 1, 1]
+    probs = jax.nn.softmax(
+        jnp.concatenate([scores, s_self], axis=-1), axis=-1)
+    p_pre, p_self = probs[..., :S], probs[..., S:]
+    if v_scale is not None:
+        p_pre = p_pre * v_scale[:, :, None, :]
+    out = jnp.einsum(f"bhts,{kv_layout}->bthd", p_pre,
+                     v_vals.astype(jnp.float32))
+    out = out + jnp.transpose(p_self, (0, 2, 1, 3)) * v_self.astype(
+        jnp.float32)                                       # [B,1,H,1]*[B,1,H,Dh]
+    return out.astype(q.dtype)
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,

@@ -149,3 +149,24 @@ def test_image_engine_kv_layout_invariant(setup):
             outs.append(eng.generate_tokens(prompts, seed=5))
         np.testing.assert_array_equal(outs[0], outs[1])
         np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_image_engine_fast_decode_parity(setup, monkeypatch):
+    """The optional copy-free decode path (OSPO_FAST_DECODE=1: cache as
+    scan xs + score-level self merge, llama.forward) must produce tokens
+    identical to the default carry path, across layouts and KV quant."""
+    cfg, model, proc = setup
+    prompts = [t2i_prompt(proc, "A black umbrella"), t2i_prompt(proc, "dog")]
+    for quant in (False, True):
+        for layout in ("bshd", "shbd"):
+            ref_eng = ImageGenEngine(model, proc, image_token_num=8,
+                                     img_size=16, patch_size=4,
+                                     kv_quant=quant, kv_layout=layout)
+            ref = ref_eng.generate_tokens(prompts, seed=5)
+            monkeypatch.setenv("OSPO_FAST_DECODE", "1")
+            fast_eng = ImageGenEngine(model, proc, image_token_num=8,
+                                      img_size=16, patch_size=4,
+                                      kv_quant=quant, kv_layout=layout)
+            out = fast_eng.generate_tokens(prompts, seed=5)
+            monkeypatch.delenv("OSPO_FAST_DECODE")
+            np.testing.assert_array_equal(ref, out)
