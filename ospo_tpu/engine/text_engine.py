@@ -127,6 +127,44 @@ class TextGenEngine:
         return out_buf
 
     # ------------------------------------------------------------------
+    def signature_for(self, prompts: Sequence[str]) -> tuple:
+        """The (batch_bucket, prompt_bucket) compile signature
+        ``generate_ids`` will use for this batch — feed to :meth:`prewarm`."""
+        input_ids, _ = self.processor.encode_batch_left_padded(list(prompts))
+        b_bucket = 1 << (len(prompts) - 1).bit_length()
+        return b_bucket, _bucket(input_ids.shape[1])
+
+    def prewarm(self, signatures, max_workers: int = 4) -> int:
+        """AOT-compile the decode program for each distinct
+        (batch_bucket, prompt_bucket) signature ahead of the data loop,
+        overlapping compilations in a thread pool (XLA compiles outside
+        the GIL, so distinct signatures compile concurrently instead of
+        serializing the first pipeline pass; later ``generate`` calls hit
+        the compilation cache).  The reference has no equivalent — HF
+        ``generate`` pays eager dispatch every call.  Returns the number
+        of distinct programs compiled."""
+        import concurrent.futures
+
+        sigs = sorted({(int(b), int(t)) for b, t in signatures})
+
+        def compile_one(sig):
+            b, t = sig
+            toks = jnp.zeros((b, t), jnp.int32)
+            mask = jnp.ones((b, t), jnp.int32)
+            type(self)._generate.lower(
+                self, self.model.params, toks, mask, jax.random.PRNGKey(0),
+                jnp.float32(self.temperature),
+                max_new=self.max_new_tokens, do_sample=self.do_sample,
+                top_p=self.top_p,
+            ).compile()
+
+        if not sigs:
+            return 0
+        with concurrent.futures.ThreadPoolExecutor(
+                min(max_workers, len(sigs))) as ex:
+            list(ex.map(compile_one, sigs))
+        return len(sigs)
+
     def generate_ids(self, prompts: Sequence[str], seed: Optional[int] = None,
                      rng: Optional[jax.Array] = None) -> np.ndarray:
         """prompt strings → generated ids [B, max_new_tokens] (eos-filled)."""

@@ -14,10 +14,14 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image
 
-# Janus-Pro checkpoints ship inception-style stats (preprocessor_config.json);
-# SigLIP and the VQ tokenizer both natively expect [-1, 1] pixels.
-DEFAULT_MEAN = (0.5, 0.5, 0.5)
-DEFAULT_STD = (0.5, 0.5, 0.5)
+# Defaults match the reference's VLMImageProcessor CLIP stats
+# (image_processing_vlm.py:68-77) so behavior is identical when no
+# checkpoint preprocessor_config.json is present.  Janus-Pro checkpoints
+# ship inception-style 0.5/0.5 stats in preprocessor_config.json, which
+# ImageProcessor.from_config picks up — so real-checkpoint runs normalise
+# to [-1, 1] exactly as before.
+DEFAULT_MEAN = (0.48145466, 0.4578275, 0.40821073)
+DEFAULT_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
 def expand2square(img: Image.Image, background_color: Tuple[int, int, int]) -> Image.Image:

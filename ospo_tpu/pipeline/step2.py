@@ -49,25 +49,35 @@ def parse_negative(answer: str) -> str:
     return out
 
 
+def build_negative_prompts(batch: List[dict], i: int, seed: int):
+    """Rendered 2a prompts for perturbation index ``i`` (None where the
+    sample has no template).  ``set_seed`` is (re)applied first — the
+    spatial templates draw words from the global RNG, so prompt
+    construction is deterministic per (batch, i) and safe to run twice
+    (signature pre-warm + the real loop)."""
+    set_seed(seed)
+    prompts, keep = [], []
+    for sample in batch:
+        p_type = sample["perturbed_method"][i]
+        system, conv = get_negative_conversation(
+            sample["sub_category"], p_type, sample["prompt"]
+        )
+        if system is None or conv is None:
+            keep.append(False)
+            prompts.append(None)
+            continue
+        keep.append(True)
+        prompts.append(render(system, conv))
+    return prompts, keep
+
+
 def run_negative(config, engine: TextGenEngine, data: List[dict]) -> List[dict]:
     seed_list = list(config.seed_list)
     output: List[dict] = []
     for bidx, batch in enumerate(batched(data, int(config.batch_size or 8))):
         outputs_by_index: List[List[str]] = []
         for i in range(3):
-            set_seed(seed_list[i])  # drives the spatial template's word draw
-            prompts, keep = [], []
-            for sample in batch:
-                p_type = sample["perturbed_method"][i]
-                system, conv = get_negative_conversation(
-                    sample["sub_category"], p_type, sample["prompt"]
-                )
-                if system is None or conv is None:
-                    keep.append(False)
-                    prompts.append(None)
-                    continue
-                keep.append(True)
-                prompts.append(render(system, conv))
+            prompts, keep = build_negative_prompts(batch, i, seed_list[i])
             live = [p for p in prompts if p is not None]
             answers = iter(
                 engine.generate(live, rng=jax.random.PRNGKey(seed_list[i]))
@@ -101,25 +111,33 @@ def parse_dense(answer: str) -> Tuple[str, str]:
     return base_out, neg_out
 
 
+def build_dense_prompts(batch: List[dict], i: int, seed: int):
+    """Rendered 2b prompts for perturbation index ``i`` (None where the
+    2a negative is empty).  Deterministic per (batch, i) — see
+    :func:`build_negative_prompts`."""
+    set_seed(seed)
+    prompts, keep = [], []
+    for sample in batch:
+        negative = sample["negative_prompt"][i]
+        if negative == "":
+            keep.append(False)
+            prompts.append(None)
+            continue
+        system, conv = get_dense_conversation(
+            sample["sub_category"], sample["prompt"], negative
+        )
+        keep.append(True)
+        prompts.append(render(system, conv))
+    return prompts, keep
+
+
 def run_dense(config, engine: TextGenEngine, data: List[dict]) -> List[dict]:
     seed_list = list(config.seed_list)
     output: List[dict] = []
     for bidx, batch in enumerate(batched(data, int(config.batch_size or 8))):
         results: List[List[Tuple[str, str]]] = []
         for i in range(3):
-            set_seed(seed_list[i])
-            prompts, keep = [], []
-            for sample in batch:
-                negative = sample["negative_prompt"][i]
-                if negative == "":
-                    keep.append(False)
-                    prompts.append(None)
-                    continue
-                system, conv = get_dense_conversation(
-                    sample["sub_category"], sample["prompt"], negative
-                )
-                keep.append(True)
-                prompts.append(render(system, conv))
+            prompts, keep = build_dense_prompts(batch, i, seed_list[i])
             live = [p for p in prompts if p is not None]
             answers = iter(
                 engine.generate(live, rng=jax.random.PRNGKey(seed_list[i]))
@@ -150,12 +168,33 @@ def main(config) -> None:
     data = shard_for_process(
         load_base_dataset(data_path, config.get("s_idx"), config.get("e_idx"))
     )
+    # pre-warm the decode programs for the first batch's signatures so the
+    # 3 per-perturbation compiles overlap instead of serializing the first
+    # pass (prompt construction is deterministic — build_negative_prompts)
+    bsz = int(config.batch_size or 8)
+    sigs = []
+    for i in range(3):
+        prompts, _ = build_negative_prompts(data[:bsz], i, config.seed_list[i])
+        live = [p for p in prompts if p is not None]
+        if live:
+            sigs.append(engine.signature_for(live))
+    n = engine.prewarm(sigs)
+    print(f"[step2a] pre-warmed {n} decode program(s)")
     negatives = run_negative(config, engine, data)
     save_json_sharded(config.save_path, "negative_prompt", negatives)
     print("(Step 2) Negative prompt generation completed.")
 
     # 2. densification — consumes this host's negative shard directly
     # (multi-host safe: no cross-host file dependency before the merge)
+    sigs = []
+    for i in range(3):
+        prompts, _ = build_dense_prompts(negatives[:bsz], i,
+                                         config.seed_list[i])
+        live = [p for p in prompts if p is not None]
+        if live:
+            sigs.append(engine.signature_for(live))
+    n = engine.prewarm(sigs)
+    print(f"[step2b] pre-warmed {n} decode program(s)")
     dense = run_dense(config, engine, negatives)
     save_json_sharded(config.save_path, "long_prompt", dense)
     print("(Step 2) Dense prompt generation completed.")

@@ -170,3 +170,20 @@ def test_image_engine_fast_decode_parity(setup, monkeypatch):
             out = fast_eng.generate_tokens(prompts, seed=5)
             monkeypatch.delenv("OSPO_FAST_DECODE")
             np.testing.assert_array_equal(ref, out)
+
+
+def test_text_engine_prewarm_is_transparent(setup):
+    """prewarm() AOT-compiles the (B, T) signatures ahead of the data loop
+    (VERDICT #10); it must not change generation results."""
+    from ospo_tpu.engine.text_engine import TextGenEngine
+
+    cfg, model, proc = setup
+    prompts = ["hello world", "a much longer prompt about umbrellas"]
+    ref_eng = TextGenEngine(model, proc, max_new_tokens=8, do_sample=False)
+    ref = ref_eng.generate_ids(prompts, seed=3)
+
+    eng = TextGenEngine(model, proc, max_new_tokens=8, do_sample=False)
+    n = eng.prewarm([eng.signature_for(prompts)])
+    assert n == 1
+    out = eng.generate_ids(prompts, seed=3)
+    np.testing.assert_array_equal(ref, out)
