@@ -82,8 +82,10 @@ def build_bench_model(preset: str):
     def init(key):
         k_lm, k_gal, k_gh, k_ge = jax.random.split(key, 4)
         lm = llama_lib.init_params(cfg.language, k_lm)
-        # lm_head is unused on the image-decode path — stub it (~0.8GB HBM)
-        lm["lm_head"] = jnp.zeros((1, 1), cfg.language.dtype)
+        if os.environ.get("OSPO_BENCH_MODE") != "text":
+            # lm_head is unused on the image-decode path — stub it
+            # (~0.8GB HBM); text decode samples from it, keep it there
+            lm["lm_head"] = jnp.zeros((1, 1), cfg.language.dtype)
         if quant_mode:
             # fused init+quantize: the bf16 stacks never co-reside with the
             # int8 output (XLA frees each as it is consumed)
@@ -212,6 +214,66 @@ def bench_train(preset: str) -> None:
                       "error": "all batch sizes failed"}))
 
 
+def bench_text(preset: str) -> None:
+    """Secondary mode (OSPO_BENCH_MODE=text): steps 1/2/4a text decode
+    throughput — new tokens/sec/chip for the jitted prefill +
+    while-loop decode engine (vs HF ``generate`` at
+    ospo/wrapper/text_generation.py:63-81).  With random-init weights the
+    all-rows-EOS early exit fires with probability ~0, so every row
+    decodes the full budget — the worst case; real runs exit early."""
+    # production serving defaults, like the image mode (bf16 7B + large
+    # batches OOMs the 16GB chip hard enough to crash the worker)
+    os.environ.setdefault("OSPO_BENCH_QUANT", "int8")
+    os.environ.setdefault("OSPO_BENCH_KV", "int8")
+    model = build_bench_model(preset)
+    from ospo_tpu.engine.text_engine import TextGenEngine
+    from ospo_tpu.image_processing import ImageProcessor
+    from ospo_tpu.processing import Processor
+    from ospo_tpu.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer(vocab_size=min(512, model.cfg.language.vocab_size))
+    proc = Processor(tok, ImageProcessor(image_size=model.cfg.gen_image_size),
+                     num_image_tokens=model.cfg.num_image_tokens)
+    max_new = int(os.environ.get("OSPO_BENCH_TOKENS", "256"))
+    batch_env = os.environ.get("OSPO_BENCH_BATCH")
+    batches = [int(batch_env)] if batch_env else [32, 16, 8]
+    prompt = "A" * int(os.environ.get("OSPO_BENCH_PROMPT_LEN", "120"))
+    engine = TextGenEngine(model, proc, max_new_tokens=max_new,
+                           temperature=1.0, do_sample=True,
+                           kv_quant=os.environ.get("OSPO_BENCH_KV") == "int8")
+    for b in batches:
+        try:
+            prompts = [prompt] * b
+            t0 = time.time()
+            engine.generate_ids(prompts, seed=0)
+            compile_s = time.time() - t0
+            times = []
+            for it in range(3):
+                t0 = time.time()
+                out = engine.generate_ids(prompts, seed=it + 1)
+                times.append(time.time() - t0)
+            dt = min(times)
+            assert out.shape == (b, max_new)
+            print(f"# text preset={preset} batch={b} max_new={max_new} "
+                  f"compile={compile_s:.1f}s decode={dt:.2f}s",
+                  file=sys.stderr)
+            print(json.dumps({
+                "metric": "text-tokens/sec/chip",
+                "value": round(b * max_new / dt, 1),
+                "unit": "tok/s",
+                "vs_baseline": 0.0,  # no reference number exists
+                "batch": b,
+                "preset": preset,
+            }))
+            return
+        except Exception as e:
+            print(f"# text batch {b} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    print(json.dumps({"metric": "text-tokens/sec/chip", "value": 0.0,
+                      "unit": "tok/s", "vs_baseline": 0.0,
+                      "error": "all batch sizes failed"}))
+
+
 def bench_score(preset: str) -> None:
     """Secondary mode (OSPO_BENCH_MODE=score): step-4b self-VQA scoring
     throughput — multimodal forwards (SigLIP + splice + trunk) per second,
@@ -287,6 +349,9 @@ def main() -> None:
     if mode == "score":
         bench_score(preset)
         return
+    if mode == "text":
+        bench_text(preset)
+        return
     n_tokens = int(os.environ.get("OSPO_BENCH_TOKENS", "576"))
     prompt_len = int(os.environ.get("OSPO_BENCH_PROMPT_LEN", "64"))
     batch_env = os.environ.get("OSPO_BENCH_BATCH")
@@ -312,7 +377,9 @@ def main() -> None:
         img_size=model.cfg.gen_image_size,
         patch_size=model.cfg.vq.downsample_factor,
         batch_bucketing=False,  # measure the exact requested batch
-        kv_quant=os.environ.get("OSPO_BENCH_KV") == "int8",
+        kv_quant=(os.environ.get("OSPO_BENCH_KV")
+                  if os.environ.get("OSPO_BENCH_KV") in ("int8", "int4")
+                  else False),
         decode_kernel=os.environ.get("OSPO_BENCH_DECODE_KERNEL") == "1",
         # growing-window segmented decode: +25% at B=24 shbd int8 (898 vs
         # 721 tok/s on v5e); no-op for the Pallas kernel (it streams the
@@ -335,7 +402,11 @@ def main() -> None:
     # (position-major peaked at B=20: XLA made in-loop layout copies);
     # bf16 (OSPO_BENCH_QUANT=bf16): ~11.4GB + 1.26GB/pair → B=4 max
     quantized = os.environ.get("OSPO_BENCH_QUANT") == "int8"
-    default_batches = [24, 20, 16, 8, 1] if quantized else [4, 2, 1]
+    # int4 KV: half the int8 cache bytes -> larger serving batches fit
+    if os.environ.get("OSPO_BENCH_KV") == "int4":
+        default_batches = [40, 36, 32, 28, 24]
+    else:
+        default_batches = [24, 20, 16, 8, 1] if quantized else [4, 2, 1]
     batches = [int(batch_env)] if batch_env else default_batches
     prompt = "A" * prompt_len  # byte tokenizer → prompt_len tokens
 
@@ -384,7 +455,8 @@ def main() -> None:
                   for leaf in jax.tree.leaves(
                       {k: model.params[k]
                        for k in ("gen_aligner", "gen_head", "gen_embed")}))
-    kv_item = 1 if os.environ.get("OSPO_BENCH_KV") == "int8" else 2
+    kv_item = {"int8": 1, "int4": 0.5}.get(
+        os.environ.get("OSPO_BENCH_KV"), 2)
     s_avg = prompt_len + n_tokens / 2
     kv_bytes = (2 * used_batch * 2 * lcfg.num_layers * s_avg
                 * lcfg.kv_heads * lcfg.dim_head * kv_item)

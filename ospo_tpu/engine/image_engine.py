@@ -63,8 +63,11 @@ class ImageGenEngine:
         # retraces); disable when the exact batch size must be respected
         # (e.g. at the HBM limit)
         self.batch_bucketing = batch_bucketing
-        # int8 KV cache: halves the decode loop's dominant HBM stream at
-        # large batch (cache reads exceed weight reads past ~4 CFG pairs)
+        # quantized KV cache: True/"int8" halves the decode loop's dominant
+        # HBM stream at large batch (cache reads exceed weight reads past
+        # ~4 CFG pairs); "int4" quarters it (nibble-packed along Dh,
+        # llama._quantize_rows_int4), raising the OOM-bound serving batch
+        # at a quality cost bounded by tests/test_kv_quant.py
         self.kv_quant = kv_quant
         # segmented decode: the 576-step loop runs as N scans with growing
         # attention windows, so early segments read only a prefix of the
@@ -93,9 +96,13 @@ class ImageGenEngine:
             assert self.kv_layout == "shbd", "decode_kernel needs shbd"
             assert not self.speculative, \
                 "decode_kernel does not support speculative decoding"
+            assert kv_quant != "int4", \
+                "decode_kernel reads the int8 cache representation"
         if self.speculative:
             assert self.kv_layout != "shbd", \
                 "speculative decoding needs per-row offsets (bshd/bhsd)"
+            assert kv_quant != "int4", \
+                "int4 KV does not support per-row offsets (SJD)"
         self._decode_fn = jax.jit(self._decode_tokens)
 
     # ------------------------------------------------------------------

@@ -28,7 +28,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ospo_tpu.ops.attention import attention
+from ospo_tpu.ops.attention import attention, unpack_int4
 
 Params = Dict[str, Any]
 
@@ -219,15 +219,24 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
     Scales are ``[L, B, H, S]`` for ``bshd``/``bhsd`` (``xla_attention``
     consumes [B, H, S]) and layout-matched ``[L, S, H, B]`` for ``shbd``
     (so the Pallas decode kernel's position-block scale DMAs are contiguous,
-    like the payload's).  ``quantized=True`` stores K/V as int8 with
-    per-(position, head) fp32 scales — halves the decode loop's dominant
-    HBM stream at large batch."""
+    like the payload's).  ``quantized=True`` / ``"int8"`` stores K/V as
+    int8 with per-(position, head) fp32 scales — halves the decode loop's
+    dominant HBM stream at large batch.  ``quantized="int4"`` packs two
+    4-bit values per byte along the HEAD axis (head ``j`` + head
+    ``j + H/2`` per byte, ``_quantize_rows_int4`` — trailing Dh stays 128
+    so the TPU tiling is unchanged) — quarter the bf16 stream, raising
+    the OOM-bound serving batch; the dequantised read fuses into the
+    attention einsums (``ops.attention.xla_attention``)."""
     layout = layout or ("bhsd" if head_major else "bshd")
     L, H, D = cfg.num_layers, cfg.kv_heads, cfg.dim_head
+    int4 = quantized == "int4"
+    Hp = H // 2 if int4 else H
+    if int4:
+        assert H % 2 == 0, "int4 KV packs head pairs (even head count)"
     shape = {
-        "bshd": (L, batch, max_len, H, D),
-        "bhsd": (L, batch, H, max_len, D),
-        "shbd": (L, max_len, H, batch, D),
+        "bshd": (L, batch, max_len, Hp, D),
+        "bhsd": (L, batch, Hp, max_len, D),
+        "shbd": (L, max_len, Hp, batch, D),
     }[layout]
     if quantized:
         sshape = (L, max_len, H, batch) if layout == "shbd" \
@@ -252,6 +261,29 @@ def _quantize_rows(x: jax.Array):
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-12) / 127.0
     q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
     return q, s
+
+
+def _quantize_rows_int4(x: jax.Array):
+    """[..., H, Dh] → (packed int8 [..., H/2, Dh], fp32 scales [..., H]).
+
+    Symmetric 15-level per-(row, head) quantisation, two HEADS per byte:
+    byte at head-slot ``j`` holds head ``j`` in the low nibble and head
+    ``j + H/2`` in the high nibble (two's complement).  Packing along the
+    head axis (not Dh) keeps the trailing dimension at Dh=128, so the TPU
+    (sublane, 128-lane) tiling of the cache is unchanged and the byte
+    halving is real — packing along Dh left a 64-wide minor dim that XLA
+    padded straight back to 128 (measured: zero savings + OOM at B=32).
+    Unpack with arithmetic shifts (``ops.attention.unpack_int4``), which
+    fuse into the attention reads; scales stay per-head (unpacked)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-12) / 7.0
+    q = jnp.clip(jnp.round(xf / s[..., None]), -7, 7).astype(jnp.int8)
+    H = q.shape[-2]
+    assert H % 2 == 0, "int4 KV packs head pairs — needs an even head count"
+    lo = q[..., : H // 2, :] & jnp.int8(0x0F)
+    hi = q[..., H // 2:, :] << jnp.int8(4)
+    return (lo | hi).astype(jnp.int8), s
+
 
 
 # ---------------------------------------------------------------------------
@@ -351,10 +383,22 @@ def forward(
         # the carried buffer in-place inside the while loop — no full-cache
         # copy per decode step (2×[L,B,S,H,Dh] would otherwise round-trip
         # HBM on every generated token).
-        quantized_cache = "k_s" in kv_cache  # int8 KV (init_kv_cache)
+        quantized_cache = "k_s" in kv_cache  # int8/int4 KV (init_kv_cache)
 
         per_row = cache_positions is not None
         layout = cache_layout or ("bhsd" if cache_head_major else "bshd")
+        # int4 caches pack head pairs per byte — recognised by the halved
+        # head axis (static shape check; init_kv_cache(quantized="int4"))
+        head_ax = {"bshd": 3, "bhsd": 2, "shbd": 2}[layout]
+        int4_cache = quantized_cache and \
+            kv_cache["k"].shape[head_ax] == cfg.kv_heads // 2
+        if int4_cache:
+            assert not decode_kernel, \
+                "decode_kernel reads the int8 cache representation"
+            assert cfg.kv_heads == cfg.num_heads, \
+                "int4 KV currently supports MHA only (head-pair packing)"
+            assert not per_row, \
+                "int4 KV does not support per-row offsets (SJD)"
         if decode_kernel:
             assert layout == "shbd", (
                 "decode_kernel requires the batch-minor cache "
@@ -432,7 +476,7 @@ def forward(
         # OSPO_FAST_DECODE=1 where compile latency matters more than peak
         # throughput.
         fast_decode = T == 1 and not self_attn and not per_row \
-            and not decode_kernel \
+            and not decode_kernel and not int4_cache \
             and os.environ.get("OSPO_FAST_DECODE", "0") == "1"
         cache0 = {k_: v_ for k_, v_ in kv_cache.items() if k_ != "length"}
         if fast_decode:
@@ -534,14 +578,28 @@ def forward(
             v_w = jnp.transpose(v, row_perm) if row_perm else v
 
             if quantized_cache:
-                kq, ks = _quantize_rows(k_w)  # scales in cache row order
-                vq, vs = _quantize_rows(v_w)
-                # scales to [B, H, T] (shbd keeps its row order [T, H, B])
-                sperm = {"bshd": (0, 2, 1), "bhsd": None,
-                         "shbd": None}[layout]
-                if sperm:
+                if int4_cache:
+                    # head-pair packing needs the head axis where qkv puts
+                    # it ([B,T,H,D]) — quantize pre-permutation, then move
+                    # payload ([B,T,H/2,D]) and scales ([B,T,H]) to cache
+                    # row order
+                    kq, ks = _quantize_rows_int4(k)
+                    vq, vs = _quantize_rows_int4(v)
+                    kq = jnp.transpose(kq, row_perm) if row_perm else kq
+                    vq = jnp.transpose(vq, row_perm) if row_perm else vq
+                    sperm = {"bshd": (0, 2, 1), "bhsd": (0, 2, 1),
+                             "shbd": (1, 2, 0)}[layout]
                     ks = jnp.transpose(ks, sperm)
                     vs = jnp.transpose(vs, sperm)
+                else:
+                    kq, ks = _quantize_rows(k_w)  # scales in cache row order
+                    vq, vs = _quantize_rows(v_w)
+                    # scales to [B, H, T] (shbd keeps its order [T, H, B])
+                    sperm = {"bshd": (0, 2, 1), "bhsd": None,
+                             "shbd": None}[layout]
+                    if sperm:
+                        ks = jnp.transpose(ks, sperm)
+                        vs = jnp.transpose(vs, sperm)
                 cache = write_kv(cache, li, kq, ks, vq, vs)
             else:
                 cache = write_kv(cache, li, k_w.astype(cache["k"].dtype), None,
@@ -591,8 +649,9 @@ def forward(
                         return jnp.transpose(s, (2, 1, 0)) \
                             if layout == "shbd" else s
 
-                    k_att = {"q": at("k", pos_ax), "s": scales("k_s")}
-                    v_att = {"q": at("v", pos_ax), "s": scales("v_s")}
+                    pk = "q4" if int4_cache else "q"
+                    k_att = {pk: at("k", pos_ax), "s": scales("k_s")}
+                    v_att = {pk: at("v", pos_ax), "s": scales("v_s")}
                 else:
                     k_att, v_att = at("k", pos_ax), at("v", pos_ax)
                 q_off = cache_positions if per_row else cache_len

@@ -27,6 +27,17 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
+def unpack_int4(p: jax.Array):
+    """head-pair-packed int8 → (low, high) int8 nibble halves — inverse of
+    ``llama._quantize_rows_int4`` (byte at head-slot j holds head j in the
+    low nibble and head j + H/2 in the high, two's complement; arithmetic
+    shifts sign-extend).  Concatenating the halves along the head axis
+    restores head order."""
+    low = jnp.right_shift(jnp.left_shift(p, 4), 4)
+    high = jnp.right_shift(p, 4)
+    return low, high
+
+
 def _repeat_kv(k: jax.Array, num_heads: int) -> jax.Array:
     """Broadcast KV heads to query heads for GQA ([B,S,KVH,D] → [B,S,H,D])."""
     kvh = k.shape[2]
@@ -45,20 +56,31 @@ def xla_attention(
     causal: bool = True,
     kv_layout: str = "bshd",
 ) -> jax.Array:
-    """k / v may be plain arrays or int8-quantized dicts
-    ``{"q": int8, "s": f32 [B,KVH,S]}`` (quantized KV cache) — the scales
-    fold into the score/probability matrices, so the int8 payload is
-    converted in-read with no dequantised copy.  ``kv_layout`` selects the
-    axis order of k & v: ``bshd`` (fresh self-attention chunks / the
-    position-major cache), ``bhsd`` (head-major cache) or ``shbd``
-    (batch-minor cache) — einsum consumes any of them without a transposed
-    copy."""
+    """k / v may be plain arrays, int8-quantized dicts
+    ``{"q": int8, "s": f32 [B,KVH,S]}`` or int4 head-pair-packed dicts
+    ``{"q4": int8 with head axis H/2, "s": f32 full-H scales}``
+    (quantized KV cache,
+    ``llama._quantize_rows`` / ``_quantize_rows_int4``) — the scales fold
+    into the score/probability matrices and the nibble unpack folds into
+    the einsum reads, so the quantized payload is converted in-read with
+    no dequantised copy.  ``kv_layout`` selects the axis order of k & v:
+    ``bshd`` (fresh self-attention chunks / the position-major cache),
+    ``bhsd`` (head-major cache) or ``shbd`` (batch-minor cache) — einsum
+    consumes any of them without a transposed copy."""
     B, T, H, Dh = q.shape
-    k_vals, k_scale = (k["q"], k["s"]) if isinstance(k, dict) else (k, None)
-    v_vals, v_scale = (v["q"], v["s"]) if isinstance(v, dict) else (v, None)
+    int4 = isinstance(k, dict) and "q4" in k
+    if isinstance(k, dict):
+        k_vals, k_scale = k["q4"] if int4 else k["q"], k["s"]
+        v_vals, v_scale = v["q4"] if int4 else v["q"], v["s"]
+    else:
+        k_vals, k_scale = k, None
+        v_vals, v_scale = v, None
     head_axis = {"bshd": 2, "bhsd": 1, "shbd": 1}[kv_layout]
     S = k_vals.shape[{"bshd": 1, "bhsd": 2, "shbd": 0}[kv_layout]]
-    if k_vals.shape[head_axis] != H:  # GQA head groups
+    if int4:
+        assert k_vals.shape[head_axis] == H // 2, (
+            "int4 KV is MHA-only (head-pair packed: cache head axis H/2)")
+    elif k_vals.shape[head_axis] != H:  # GQA head groups
         reps = H // k_vals.shape[head_axis]
         k_vals = jnp.repeat(k_vals, reps, axis=head_axis)
         v_vals = jnp.repeat(v_vals, reps, axis=head_axis)
@@ -69,10 +91,24 @@ def xla_attention(
     scale = Dh ** -0.5
 
     kv_sub = kv_layout
-    scores = jnp.einsum(
-        f"bthd,{kv_sub}->bhts", q.astype(jnp.float32),
-        k_vals.astype(jnp.float32)
-    ) * scale
+    if int4:
+        # head-pair packed: low nibbles are heads [0, H/2), high nibbles
+        # heads [H/2, H) — score each half against the matching
+        # (contiguous) query half and rejoin along the head axis; the
+        # unpack shifts fuse into the score fusion's cache read
+        k_low, k_high = unpack_int4(k_vals)
+        qf = q.astype(jnp.float32)
+        scores = jnp.concatenate([
+            jnp.einsum(f"bthd,{kv_sub}->bhts", qf[:, :, : H // 2],
+                       k_low.astype(jnp.float32)),
+            jnp.einsum(f"bthd,{kv_sub}->bhts", qf[:, :, H // 2:],
+                       k_high.astype(jnp.float32)),
+        ], axis=1) * scale
+    else:
+        scores = jnp.einsum(
+            f"bthd,{kv_sub}->bhts", q.astype(jnp.float32),
+            k_vals.astype(jnp.float32)
+        ) * scale
     if k_scale is not None:
         scores = scores * k_scale[:, :, None, :]              # [B,H,1,S]
 
@@ -92,8 +128,17 @@ def xla_attention(
     probs = jax.nn.softmax(scores, axis=-1)
     if v_scale is not None:
         probs = probs * v_scale[:, :, None, :]
-    out = jnp.einsum(f"bhts,{kv_sub}->bthd", probs,
-                     v_vals.astype(jnp.float32))
+    if int4:
+        v_low, v_high = unpack_int4(v_vals)
+        out = jnp.concatenate([
+            jnp.einsum(f"bhts,{kv_sub}->bthd", probs[:, : H // 2],
+                       v_low.astype(jnp.float32)),
+            jnp.einsum(f"bhts,{kv_sub}->bthd", probs[:, H // 2:],
+                       v_high.astype(jnp.float32)),
+        ], axis=2)  # heads [0,H/2) ++ [H/2,H) — original order
+    else:
+        out = jnp.einsum(f"bhts,{kv_sub}->bthd", probs,
+                         v_vals.astype(jnp.float32))
     return out.astype(q.dtype)
 
 

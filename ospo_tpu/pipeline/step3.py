@@ -105,7 +105,9 @@ def main(config) -> None:
         image_token_num=model.cfg.num_gen_tokens,
         img_size=model.cfg.gen_image_size,
         patch_size=model.cfg.vq.downsample_factor,
-        kv_quant=(config.get("kv_quant") or "").lower() == "int8",
+        kv_quant=((config.get("kv_quant") or "").lower()
+                  if (config.get("kv_quant") or "").lower()
+                  in ("int8", "int4") else False),
         decode_segments=int(config.get("decode_segments") or 1),
         speculative=int(config.get("speculative") or 0),
         decode_kernel=bool(config.get("decode_kernel")),

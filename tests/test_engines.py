@@ -187,3 +187,17 @@ def test_text_engine_prewarm_is_transparent(setup):
     assert n == 1
     out = eng.generate_ids(prompts, seed=3)
     np.testing.assert_array_equal(ref, out)
+
+
+def test_image_engine_kv_int4(setup):
+    """int4 KV engine path: runs across layouts with identical tokens
+    (memory-order invariance holds within a quantization mode)."""
+    cfg, model, proc = setup
+    prompts = [t2i_prompt(proc, "A black umbrella"), t2i_prompt(proc, "dog")]
+    outs = []
+    for layout in ("bshd", "shbd"):
+        eng = ImageGenEngine(model, proc, image_token_num=8, img_size=16,
+                             patch_size=4, kv_quant="int4", kv_layout=layout)
+        outs.append(eng.generate_tokens(prompts, seed=5))
+    assert outs[0].shape == (2, 8)
+    np.testing.assert_array_equal(outs[0], outs[1])
