@@ -404,7 +404,7 @@ def main() -> None:
     quantized = os.environ.get("OSPO_BENCH_QUANT") == "int8"
     # int4 KV: half the int8 cache bytes -> larger serving batches fit
     if os.environ.get("OSPO_BENCH_KV") == "int4":
-        default_batches = [40, 36, 32, 28, 24]
+        default_batches = [44, 40, 36, 32, 28]  # 48 OOMs
     else:
         default_batches = [24, 20, 16, 8, 1] if quantized else [4, 2, 1]
     batches = [int(batch_env)] if batch_env else default_batches

@@ -30,6 +30,7 @@ class ScoringEngine:
     def __init__(self, model: janus_lib.JanusModel, processor: Processor):
         self.model = model
         self.processor = processor
+        self._shared_oom = False  # sticky fallback (see score_images)
         tok = processor.tokenizer
         self.yes_ids = [tok("yes", add_special_tokens=False).input_ids[-1],
                         tok("Yes", add_special_tokens=False).input_ids[-1]]
@@ -50,6 +51,65 @@ class ScoringEngine:
         logits = janus_lib.lm_logits(params, hidden[:, -1:, :])[:, 0]
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _encode_images(self, params, pixel_values):
+        """[N, H, W, 3] → aligned image embeddings [N, T2, D].  A separate
+        program from the trunk prefill so the ViT activations and the
+        trunk weights + KV cache never share one program's HBM peak
+        (combined they OOMed a 16 GB chip at 7B, N=6)."""
+        return janus_lib.encode_images(params, self.model.cfg, pixel_values)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _shared_prefix_probs(self, params, input_ids, attn_mask, img_embeds,
+                             seq_mask, emb_mask, suffix_ids, suffix_mask):
+        """One program: trunk prefill over the shared (template + image)
+        token prefix into a KV cache, then every question's (left-padded)
+        suffix forwarded against that cache via ``lax.map`` — the cache
+        never crosses a jit boundary (as a program argument XLA inserted
+        ~4 GB of layout copies of K/V at 7B, which OOMed the chip).
+        suffix_ids/mask: [Q, B, T_b] → [Q, B, V] last-position softmax."""
+        cfg = self.model.cfg
+        b, p = input_ids.shape
+        embeds = janus_lib.prepare_inputs_embeds(
+            params, cfg, input_ids, None, seq_mask, emb_mask,
+            img_embeds=img_embeds,
+        )
+        positions = llama.positions_from_mask(attn_mask)
+        # batch-minor cache: matches the layout XLA picks for the suffix
+        # attention reads — position-major forced ~4 GB of in-program
+        # layout copies of K/V at 7B (same phenomenon as the image
+        # engine's large-batch decode; see llama.init_kv_cache)
+        kv = llama.init_kv_cache(cfg.language, b, p + suffix_ids.shape[-1],
+                                 layout="shbd")
+        _, kv = janus_lib.language_forward(
+            params, cfg, embeds, attn_mask, positions,
+            kv_cache=kv, self_attn=True, cache_layout="shbd",
+        )
+        prefix_len = jnp.sum(attn_mask, axis=-1, keepdims=True)    # [B, 1]
+
+        def per_question(sfx_ids, sfx_mask):
+            s_embeds = janus_lib.embed_text(params, jnp.maximum(sfx_ids, 0))
+            # rotary positions continue the prefix's valid count
+            pos = prefix_len - 1 + jnp.maximum(
+                jnp.cumsum(sfx_mask.astype(jnp.int32), axis=-1), 1)
+            window = jnp.concatenate(
+                [attn_mask, sfx_mask], axis=-1).astype(jnp.int32)
+            hidden, _ = janus_lib.language_forward(
+                params, cfg, s_embeds, window, pos, kv_cache=kv,
+                cache_layout="shbd",
+            )
+            logits = janus_lib.lm_logits(params, hidden[:, -1:, :])[:, 0]
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        # static python unroll over questions: a lax.map loop boundary made
+        # XLA copy (and remat-compress) the whole cache per iteration
+        # (~4 GB of copies at 7B); unrolled, layout assignment unifies the
+        # cache across all readers and the copies disappear
+        return jnp.stack([
+            per_question(suffix_ids[i], suffix_mask[i])
+            for i in range(suffix_ids.shape[0])
+        ])
+
     def question_conversations(self, image, questions: Sequence[str]):
         """Per-question single-image yes/no conversations
         (``build_conversation``, ospo/wrapper/vqa.py:149-158)."""
@@ -63,10 +123,92 @@ class ScoringEngine:
             ])
         return convs
 
-    def score_images(self, images: Sequence, questions: Sequence[str]) -> List[Dict]:
-        """N images × Q questions in ONE multimodal forward (N·Q rows) —
-        the reference runs a forward per image (vqa.py:161-204); batching
-        all six images of an item amortises the weight reads 6×."""
+    def score_images(self, images: Sequence, questions: Sequence[str],
+                     share_prefix: bool = True) -> List[Dict]:
+        """N images × Q questions.  Default path: the (template + image)
+        token prefix — identical for every question by construction — is
+        prefilled ONCE per image into a KV cache, then each question's
+        token suffix runs against it.  The common prefix is computed on
+        the TOKENIZED sequences, so the math is token-for-token identical
+        to the unshared forward (verified in tests/test_scoring.py);
+        it just skips Q−1 redundant ViT encodes and trunk prefix passes
+        (the reference recomputes everything per image AND per batch —
+        vqa.py:161-204).  ``share_prefix=False`` falls back to the
+        single-forward N·Q-row path."""
+        if share_prefix and not self._shared_oom:
+            try:
+                return self._score_images_shared(images, questions)
+            except Exception as e:  # compile OOM → stick to the full path
+                import sys
+
+                print(f"# scoring: shared-prefix path failed "
+                      f"({type(e).__name__}) — falling back to the "
+                      f"single-forward path (a bf16 7B trunk + prefix "
+                      f"cache + XLA's cache layout copies exceed a 16 GB "
+                      f"chip; int8 weights fit)", file=sys.stderr)
+                self._shared_oom = True
+        return self._score_images_full(images, questions)
+
+    def _score_images_shared(self, images: Sequence,
+                             questions: Sequence[str]) -> List[Dict]:
+        n, q_count = len(images), len(questions)
+        # tokenize the Q conversations once (ids are image-independent)
+        prepares = [
+            self.processor.process_one(conversations=c, images=[images[0]])
+            for c in self.question_conversations(images[0], questions)
+        ]
+        ids = [np.asarray(p.input_ids, np.int32) for p in prepares]
+        minlen = min(len(a) for a in ids)
+        stacked = np.stack([a[:minlen] for a in ids])
+        neq = (stacked != stacked[0]).any(axis=0)
+        common = minlen if not neq.any() else int(np.argmax(neq))
+        common = min(common, minlen - 1)  # ≥1 suffix token (Q=1 / dup qs)
+        # the image span from the expanded ids (inside the shared prefix)
+        seq_mask_full = np.asarray(ids[0]) == self.processor.image_id
+        assert not seq_mask_full[common:].any(), \
+            "image span must sit inside the shared prefix"
+
+        # prefix batch over images, left-padded to a bucket
+        p_b = _bucket(common)
+        lpad = p_b - common
+        prefix_ids = np.pad(ids[0][:common], (lpad, 0),
+                            constant_values=self.processor.pad_id)
+        prefix_mask = np.pad(np.ones(common, np.int32), (lpad, 0))
+        prefix_seq_mask = np.pad(seq_mask_full[:common], (lpad, 0))
+        pixel_values = np.stack([
+            self.processor.image_processor([img])[0] for img in images
+        ])[:, None]                                      # [N, 1, H, W, 3]
+        t2 = self.processor.num_image_tokens
+        emb_mask = np.ones((n, 1, t2), bool)
+
+        suffixes = [a[common:] for a in ids]
+        t_b = _bucket(max(len(s) for s in suffixes), step=16)
+        sfx_ids = np.stack([
+            np.pad(s, (t_b - len(s), 0),
+                   constant_values=self.processor.pad_id) for s in suffixes
+        ])                                               # [Q, T_b]
+        sfx_mask = np.stack([
+            np.pad(np.ones(len(s), np.int32), (t_b - len(s), 0))
+            for s in suffixes
+        ])
+        img_embeds = self._encode_images(
+            self.model.params, jnp.asarray(pixel_values[:, 0]))
+        probs_qn = np.asarray(self._shared_prefix_probs(
+            self.model.params,
+            jnp.asarray(np.tile(prefix_ids, (n, 1))),
+            jnp.asarray(np.tile(prefix_mask, (n, 1))),
+            img_embeds,
+            jnp.asarray(np.tile(prefix_seq_mask, (n, 1))),
+            jnp.asarray(emb_mask),
+            jnp.asarray(np.tile(sfx_ids[:, None], (1, n, 1))),
+            jnp.asarray(np.tile(sfx_mask[:, None], (1, n, 1))),
+        ))                                               # [Q, N, V]
+        # rows in (image-major, question-minor) order like the full path
+        probs = np.transpose(probs_qn, (1, 0, 2)).reshape(n * q_count, -1)
+        return self._collect_scores(probs, n, q_count)
+
+    def _score_images_full(self, images: Sequence,
+                           questions: Sequence[str]) -> List[Dict]:
         prepares = []
         for image in images:
             for c in self.question_conversations(image, questions):
@@ -90,9 +232,14 @@ class ScoringEngine:
             jnp.asarray(seq_mask), jnp.asarray(batch.images_emb_mask),
         ))
 
-        q_count = len(questions)
+        return self._collect_scores(probs, len(images), len(questions))
+
+    def _collect_scores(self, probs: np.ndarray, n_images: int,
+                        q_count: int) -> List[Dict]:
+        """[N·Q, V] last-position distributions (image-major row order) →
+        per-image local/global scores (vqa.py:161-225 semantics)."""
         results: List[Dict] = []
-        for img_idx in range(len(images)):
+        for img_idx in range(n_images):
             score_sum = 0.0
             global_score = 0.0
             answer_metadata: List[dict] = []

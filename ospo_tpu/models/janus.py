@@ -124,6 +124,7 @@ def prepare_inputs_embeds(
     pixel_values: jax.Array,     # [B, n_images, H, W, 3]
     images_seq_mask: jax.Array,  # [B, T] bool — where image embeds go
     images_emb_mask: jax.Array,  # [B, n_images, T2] bool — which embeds used
+    img_embeds: "jax.Array | None" = None,  # [B*n, T2, D] precomputed
 ) -> jax.Array:
     """Splice aligned image-patch embeddings into the text embedding stream.
 
@@ -135,11 +136,15 @@ def prepare_inputs_embeds(
     image-token count equals its valid image-embedding count.
     """
     b, t = input_ids.shape
-    n_img = pixel_values.shape[1]
+    n_img = images_emb_mask.shape[1]
     t2 = cfg.num_image_tokens
 
-    flat_pixels = pixel_values.reshape(b * n_img, *pixel_values.shape[2:])
-    img_embeds = encode_images(params, cfg, flat_pixels)
+    if img_embeds is None:
+        flat_pixels = pixel_values.reshape(b * n_img, *pixel_values.shape[2:])
+        img_embeds = encode_images(params, cfg, flat_pixels)
+    # precomputed img_embeds let callers jit the ViT encode separately
+    # from the trunk prefill (halves peak HBM — scoring's shared-prefix
+    # path OOMed 19.6G when both lived in one program at 7B)
     img_embeds = img_embeds.reshape(b, n_img * t2, -1)           # [B, n*T2, D]
     emb_mask = images_emb_mask.reshape(b, n_img * t2)            # [B, n*T2]
 

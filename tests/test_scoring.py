@@ -64,3 +64,23 @@ def test_preference_strength_filters_negative_gaps():
 
 def test_preference_strength_empty():
     assert compute_preference_strength({}, {}) is None
+
+
+def test_shared_prefix_scores_match_full_forward(engine):
+    """The prefix-KV-shared scoring path must reproduce the single-forward
+    path's scores (same tokens by construction — the split point is the
+    common TOKEN prefix — so only fp reassociation differs)."""
+    rng = np.random.default_rng(7)
+    imgs = [Image.fromarray(
+        rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8))
+        for _ in range(2)]
+    questions = ["Is there a dog?", "Is the sky blue?",
+                 "Does this image fully match the prompt?"]
+    full = engine.score_images(imgs, questions, share_prefix=False)
+    shared = engine.score_images(imgs, questions, share_prefix=True)
+    for f, s in zip(full, shared):
+        assert abs(f["local_score"] - s["local_score"]) < 2e-4, (f, s)
+        assert abs(f["global_score"] - s["global_score"]) < 2e-4, (f, s)
+        for fa, sa in zip(f["answer_metadata"], s["answer_metadata"]):
+            assert abs(fa["p_yes"] - sa["p_yes"]) < 2e-4
+            assert abs(fa["p_no"] - sa["p_no"]) < 2e-4
