@@ -48,10 +48,20 @@ import numpy as np
 # batch-matched estimate; target is >= 2x (BASELINE.md north star).
 A100_BW_GBPS = 2039.0
 A100_OVERHEAD_MS = 35.0
-REF_WEIGHT_GB = 13.2
 TARGET_MULTIPLE = 2.0
 # v5e HBM bandwidth for the utilisation figure reported alongside tok/s
 V5E_BW_GBPS = 819.0
+
+
+def ref_weight_gb(cfg) -> float:
+    """bf16 bytes of the reference's streamed decode weights for this
+    language config (trunk + embed; 13.2 GB at 7B) — keeps vs_baseline
+    honest for the 1b/tiny presets too."""
+    d, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    h, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.dim_head
+    per_layer = (h + kvh) * dh * d + h * dh * d + kvh * dh * d \
+        + 3 * d * i + 2 * d
+    return (v * d + cfg.num_layers * per_layer + d) * 2 / 1e9
 
 
 def modeled_ref_toks(batch: int, prompt_len: int, n_tokens: int,
@@ -61,7 +71,8 @@ def modeled_ref_toks(batch: int, prompt_len: int, n_tokens: int,
     s_avg = prompt_len + n_tokens / 2
     kv_gb = (2 * cfg.num_layers * rows * s_avg * cfg.kv_heads
              * cfg.dim_head * 2) / 1e9
-    step_ms = (REF_WEIGHT_GB + kv_gb) / A100_BW_GBPS * 1e3 + A100_OVERHEAD_MS
+    step_ms = (ref_weight_gb(cfg) + kv_gb) / A100_BW_GBPS * 1e3 \
+        + A100_OVERHEAD_MS
     return batch / step_ms * 1e3
 
 
@@ -240,7 +251,9 @@ def bench_text(preset: str) -> None:
     prompt = "A" * int(os.environ.get("OSPO_BENCH_PROMPT_LEN", "120"))
     engine = TextGenEngine(model, proc, max_new_tokens=max_new,
                            temperature=1.0, do_sample=True,
-                           kv_quant=os.environ.get("OSPO_BENCH_KV") == "int8")
+                           kv_quant=(os.environ.get("OSPO_BENCH_KV")
+                                     if os.environ.get("OSPO_BENCH_KV")
+                                     in ("int8", "int4") else False))
     for b in batches:
         try:
             prompts = [prompt] * b
@@ -449,8 +462,13 @@ def main() -> None:
     # achieved HBM bandwidth fraction: weights actually resident (counts
     # the int8 payload+scales when quantized) + KV at mean populated length
     lcfg = model.cfg.language
+    # 'embed' is excluded: the image-decode loop embeds via gen_embed /
+    # gen_aligner and only gathers a few embed rows at prefill, so the
+    # 0.84 GB bf16 table is not part of the per-step stream
     wbytes = sum(leaf.size * leaf.dtype.itemsize
-                 for leaf in jax.tree.leaves(model.params["language_model"]))
+                 for key, sub in model.params["language_model"].items()
+                 if key != "embed"
+                 for leaf in jax.tree.leaves(sub))
     wbytes += sum(leaf.size * leaf.dtype.itemsize
                   for leaf in jax.tree.leaves(
                       {k: model.params[k]

@@ -65,7 +65,7 @@ class ImageGenEngine:
         self.batch_bucketing = batch_bucketing
         # quantized KV cache: True/"int8" halves the decode loop's dominant
         # HBM stream at large batch (cache reads exceed weight reads past
-        # ~4 CFG pairs); "int4" quarters it (nibble-packed along Dh,
+        # ~4 CFG pairs); "int4" quarters it (two heads packed per byte —
         # llama._quantize_rows_int4), raising the OOM-bound serving batch
         # at a quality cost bounded by tests/test_kv_quant.py
         self.kv_quant = kv_quant

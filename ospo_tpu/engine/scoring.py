@@ -64,9 +64,10 @@ class ScoringEngine:
                              seq_mask, emb_mask, suffix_ids, suffix_mask):
         """One program: trunk prefill over the shared (template + image)
         token prefix into a KV cache, then every question's (left-padded)
-        suffix forwarded against that cache via ``lax.map`` — the cache
-        never crosses a jit boundary (as a program argument XLA inserted
-        ~4 GB of layout copies of K/V at 7B, which OOMed the chip).
+        suffix forwarded against that cache in a static unroll — the cache
+        never crosses a jit or loop boundary (as a program argument or a
+        lax.map carry XLA inserted ~4 GB of layout copies of K/V at 7B,
+        which OOMed the chip).
         suffix_ids/mask: [Q, B, T_b] → [Q, B, V] last-position softmax."""
         cfg = self.model.cfg
         b, p = input_ids.shape
@@ -138,24 +139,31 @@ class ScoringEngine:
         if share_prefix and not self._shared_oom:
             try:
                 return self._score_images_shared(images, questions)
-            except Exception as e:  # compile OOM → stick to the full path
+            except jax.errors.JaxRuntimeError as e:
                 import sys
 
-                print(f"# scoring: shared-prefix path failed "
-                      f"({type(e).__name__}) — falling back to the "
-                      f"single-forward path (a bf16 7B trunk + prefix "
-                      f"cache + XLA's cache layout copies exceed a 16 GB "
-                      f"chip; int8 weights fit)", file=sys.stderr)
-                self._shared_oom = True
+                msg = str(e)
+                if not ("RESOURCE_EXHAUSTED" in msg or "memory" in msg
+                        or "hbm" in msg):
+                    raise  # only OOMs fall back; real bugs stay loud
+                print("# scoring: shared-prefix path OOMed — falling back "
+                      "to the single-forward path (a bf16 7B trunk + "
+                      "prefix cache + XLA's cache layout copies exceed a "
+                      "16 GB chip; int8 weights fit)", file=sys.stderr)
+                self._shared_oom = True  # sticky: don't retry every item
         return self._score_images_full(images, questions)
 
     def _score_images_shared(self, images: Sequence,
                              questions: Sequence[str]) -> List[Dict]:
         n, q_count = len(images), len(questions)
-        # tokenize the Q conversations once (ids are image-independent)
+        # tokenize the Q conversations once — ids are image-independent, so
+        # a 1×1 stub avoids re-running image preprocessing per question
+        from PIL import Image as PILImage
+
+        stub = PILImage.new("RGB", (1, 1))
         prepares = [
-            self.processor.process_one(conversations=c, images=[images[0]])
-            for c in self.question_conversations(images[0], questions)
+            self.processor.process_one(conversations=c, images=[stub])
+            for c in self.question_conversations(stub, questions)
         ]
         ids = [np.asarray(p.input_ids, np.int32) for p in prepares]
         minlen = min(len(a) for a in ids)

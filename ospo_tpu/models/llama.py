@@ -334,8 +334,9 @@ def forward(
     ``cache_layout`` (static; or the legacy ``cache_head_major`` flag) must
     match the layout the cache was built with (``init_kv_cache``) on EVERY
     call that touches it — prefill and decode alike.  ``decode_kernel=True``
-    requires ``"bhsd"``; per-row ``cache_positions`` supports ``"bshd"`` and
-    ``"bhsd"``.
+    requires the batch-minor ``"shbd"`` layout (and falls back to the XLA
+    read path when the flattened H·B axis is not 128-aligned); per-row
+    ``cache_positions`` supports ``"bshd"`` and ``"bhsd"``.
     """
     x = inputs_embeds.astype(cfg.dtype)
     cos, sin = rope_frequencies(cfg, positions)
@@ -405,6 +406,13 @@ def forward(
                 "(init_kv_cache(layout='shbd') + cache_layout='shbd')")
             assert not per_row, (
                 "decode_kernel does not support per-row offsets (SJD)")
+            if x.shape[0] * cfg.kv_heads % 128 != 0 \
+                    and jax.default_backend() == "tpu":
+                # the kernel flattens (H, B) onto the 128-wide lanes; at
+                # small batch (e.g. 2 CFG rows x 32 heads = 64) fall back
+                # to the XLA read path rather than crash mid-trace —
+                # shapes are static here, so this is a compile-time choice
+                decode_kernel = False
         if per_row:
             assert layout != "shbd", (
                 "per-row cache offsets (SJD) not supported batch-minor")

@@ -51,7 +51,7 @@ def main():
         img_size=model.cfg.gen_image_size,
         patch_size=model.cfg.vq.downsample_factor,
         batch_bucketing=False,
-        kv_quant=args.kv == "int8",
+        kv_quant=args.kv if args.kv in ("int8", "int4") else False,
         kv_layout=args.kv_layout,
         decode_segments=args.segments,
         decode_kernel=args.decode_kernel,
@@ -81,7 +81,7 @@ def main():
     for leaf in jax.tree.leaves({k: model.params[k] for k in
                                  ("gen_aligner", "gen_head", "gen_embed")}):
         wbytes += leaf.size * leaf.dtype.itemsize
-    kv_itemsize = 1 if args.kv == "int8" else 2
+    kv_itemsize = {"int8": 1, "int4": 0.5}.get(args.kv, 2)
     s_avg = args.prompt_len + args.tokens / 2
     kv_bytes_avg = (2 * cfg.num_layers * n_rows * s_avg *
                     cfg.kv_heads * cfg.dim_head * kv_itemsize)
