@@ -247,7 +247,7 @@ def bench_text(preset: str) -> None:
                      num_image_tokens=model.cfg.num_image_tokens)
     max_new = int(os.environ.get("OSPO_BENCH_TOKENS", "256"))
     batch_env = os.environ.get("OSPO_BENCH_BATCH")
-    batches = [int(batch_env)] if batch_env else [32, 16, 8]
+    batches = [int(batch_env)] if batch_env else [64, 48, 32, 16]  # 80 OOMs
     prompt = "A" * int(os.environ.get("OSPO_BENCH_PROMPT_LEN", "120"))
     engine = TextGenEngine(model, proc, max_new_tokens=max_new,
                            temperature=1.0, do_sample=True,

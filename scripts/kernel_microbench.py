@@ -51,7 +51,9 @@ def main():
     vsc = jax.random.uniform(ks[4], (L, S, H, B), jnp.float32)
     mask = jnp.ones((B, S), jnp.int32)
 
-    one = jax.jit(lambda q, li, cur: decode_attention(
+    # buffers must be ARGUMENTS: a closure bakes the 500MB cache into the
+    # program as constants and the tunneled compile request rejects it
+    one = jax.jit(lambda q, kc, vc, ksc, vsc, li, cur: decode_attention(
         q, kc, vc, li, cur, mask, k_scale=ksc, v_scale=vsc,
         blk=args.blk))
 
@@ -60,7 +62,7 @@ def main():
     per_block = None
     prev = None
     for cur in (64, 128, 256, 384, 512, 640, 704):
-        dt = timeit(lambda c=cur: one(q, 0, c), args.iters)
+        dt = timeit(lambda c=cur: one(q, kc, vc, ksc, vsc, 0, c), args.iters)
         nb = -(-cur // args.blk)
         marg = ""
         if prev is not None:
@@ -71,11 +73,11 @@ def main():
         print(f"cur_len={cur:4d} nb={nb:3d}: {dt*1e3:7.3f} ms{marg}")
 
     # layer sweep: does per-call overhead scale with calls?
-    many = jax.jit(lambda q: sum(
+    many = jax.jit(lambda q, kc, vc, ksc, vsc: sum(
         decode_attention(q, kc, vc, li, 704, mask, k_scale=ksc,
                          v_scale=vsc, blk=args.blk).astype(jnp.float32)
         for li in range(L)))
-    dt = timeit(lambda: many(q), max(2, args.iters // 4))
+    dt = timeit(lambda: many(q, kc, vc, ksc, vsc), max(2, args.iters // 4))
     print(f"{L} back-to-back calls (cur=704): {dt*1e3:.3f} ms "
           f"({dt/L*1e3:.3f} ms/call)")
 
