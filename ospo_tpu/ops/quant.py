@@ -60,6 +60,33 @@ def quantize_llama_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def quantize_llama_params_incremental(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Like :func:`quantize_llama_params`, but quantizes one stacked
+    matrix at a time in its own donated jit and drops the bf16 original
+    before the next — peak HBM = base model + ONE stacked matrix (~1.8 GB
+    at 7B) instead of base + a full second copy.
+
+    Needed for quantize-after-build paths (model factory: random-init or
+    checkpoint load, then ``quantize: int8``): a whole-tree quantize jit
+    double-resides bf16+int8 (~23 GB at 7B) because buffer donation is
+    not honoured on every backend (observed on the tunneled v5e — every
+    later allocation then fails with RESOURCE_EXHAUSTED).  Fused
+    init-time quantization (``JanusModel.init(quantize=True)``) remains
+    the better path when the weights don't pre-exist on device."""
+    quantize_one = jax.jit(quantize_matrix, donate_argnums=0)
+    layers = dict(params["layers"])
+    for name in QUANTIZABLE:
+        w = layers[name]
+        layers[name] = jax.block_until_ready(quantize_one(w))
+        # drop the bf16 stacked matrix before quantizing the next one —
+        # without the explicit delete (and even with donation) the old
+        # leaf can stay alive until python GC runs
+        w.delete()
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def quantize_janus_params(params: Dict[str, Any],
                           quantize_gen_head: bool = True) -> Dict[str, Any]:
     out = dict(params)

@@ -72,7 +72,9 @@ def main(config) -> None:
         kv_quant=((config.get("kv_quant") or "").lower()
                   if (config.get("kv_quant") or "").lower()
                   in ("int8", "int4") else False),
-        decode_segments=int(config.get("decode_segments") or 1),
+        # 8 growing windows: +38% decode throughput at the 7B serving
+        # point (BENCH_NOTES); no-op for kernel/SJD runs
+        decode_segments=int(config.get("decode_segments") or 8),
         speculative=int(config.get("speculative") or 0),
         decode_kernel=bool(config.get("decode_kernel")),
         kv_layout=config.get("kv_layout"),  # shbd = large-batch serving

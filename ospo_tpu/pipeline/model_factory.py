@@ -111,16 +111,28 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
     # optional weight-only int8 (decode-path HBM relief; generation steps
     # only — training consumes full-precision weights)
     if (config.get("quantize") or "").lower() == "int8":
-        import jax as _jax
-
         from ospo_tpu.ops import quant
 
         print("# Quantizing language-model weights to int8 (W8A16).")
-        model.params = _jax.jit(
-            lambda p: {**p, "language_model": quant.quantize_llama_params(
-                p["language_model"])},
-            donate_argnums=0,  # avoid bf16+int8 double-residency
-        )(model.params)
+        # incremental (one stacked matrix at a time): a whole-tree
+        # quantize jit double-resides bf16+int8 (~23 GB at 7B) when the
+        # backend ignores donation, and every later allocation fails
+        model.params = {
+            **model.params,
+            "language_model": quant.quantize_llama_params_incremental(
+                model.params["language_model"]),
+        }
+
+    # image-generation steps never call lm_logits — dropping the 0.84 GB
+    # bf16 lm_head buys KV-cache headroom (larger serving batch) on a
+    # 16 GB chip. Opt-in per step config (step3/inference set it).
+    if config.get("drop_lm_head"):
+        import jax.numpy as _jnp
+
+        print("# Dropping lm_head (image-generation step).")
+        lm = dict(model.params["language_model"])
+        lm["lm_head"] = _jnp.zeros((1, 1), model.cfg.dtype)
+        model.params = {**model.params, "language_model": lm}
 
     # optional tensor parallelism: shard the weights over a (data, model)
     # mesh; every downstream jit then runs GSPMD-sharded automatically

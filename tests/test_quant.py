@@ -49,3 +49,26 @@ def test_quantized_janus_gen_path():
     assert quant.hbm_bytes(qparams["language_model"]["layers"]) < quant.hbm_bytes(
         model.params["language_model"]["layers"]
     )
+
+
+def test_incremental_quantize_matches_whole_tree():
+    """quantize_llama_params_incremental (per-leaf donated jits, used by
+    the model factory to avoid bf16+int8 double-residency at 7B) must be
+    numerically identical to the whole-tree quantize."""
+    import numpy as np
+
+    from ospo_tpu.models import llama
+    from ospo_tpu.ops import quant
+
+    cfg = llama.tiny_config()
+    ref_params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    inc_params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    ref = quant.quantize_llama_params(ref_params)
+    inc = quant.quantize_llama_params_incremental(inc_params)
+    for name in quant.QUANTIZABLE:
+        np.testing.assert_array_equal(
+            np.asarray(ref["layers"][name]["q"]),
+            np.asarray(inc["layers"][name]["q"]), err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(ref["layers"][name]["s"]),
+            np.asarray(inc["layers"][name]["s"]), rtol=1e-6, err_msg=name)
