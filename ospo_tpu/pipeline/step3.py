@@ -44,11 +44,14 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
     batch_size = int(config.batch_size or 4)
     seed_list = list(config.seed_list)
     done = 0
+    failed_batches = 0
+    n_batches = 0
     meter = ThroughputMeter()
     # PNG encodes overlap the next batch's device decode
     png_pool = ThreadPoolExecutor(max_workers=2)
     pending = []
     for batch in batched(data, batch_size):
+        n_batches += 1
         prompt_lists = [[] for _ in range(6)]
         path_lists = [[] for _ in range(6)]
         try:
@@ -84,6 +87,7 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
                     png_pool.submit(save_images, images, path_lists[idx]))
                 meter.update(len(images) * engine.image_token_num)
         except Exception as e:  # per-batch fault tolerance (reference parity)
+            failed_batches += 1
             print(f"Error in step3 batch: {e}")
             traceback.print_exc()
         done += len(batch)
@@ -92,6 +96,13 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
     for fut in pending:  # surface any writer errors
         fut.result()
     png_pool.shutdown()
+    # a bad sample must not kill a long run (reference parity), but a run
+    # where EVERY batch failed is an environment problem (e.g. OOM) —
+    # refusing to 'complete' it keeps degenerate output trees loud
+    if n_batches and failed_batches == n_batches:
+        raise RuntimeError(
+            f"step3: all {n_batches} batches failed — aborting instead of "
+            "writing an empty output tree (see errors above)")
 
 
 def main(config) -> None:
