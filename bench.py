@@ -354,6 +354,11 @@ def bench_score(preset: str) -> None:
 
 
 def main() -> None:
+    from ospo_tpu.platform import enable_compilation_cache
+
+    # persistent compile cache: repeat bench invocations skip the
+    # 160-600 s remote cold compiles (OSPO_COMPILE_CACHE=off to disable)
+    enable_compilation_cache()
     preset = os.environ.get("OSPO_BENCH_PRESET", "7b")
     mode = os.environ.get("OSPO_BENCH_MODE")
     if mode == "train":

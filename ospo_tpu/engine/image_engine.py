@@ -51,6 +51,7 @@ class ImageGenEngine:
         decode_kernel: bool = False,
         speculative: int = 0,
         kv_layout: str = None,
+        mesh=None,
     ):
         self.model = model
         self.processor = processor
@@ -103,6 +104,14 @@ class ImageGenEngine:
                 "speculative decoding needs per-row offsets (bshd/bhsd)"
             assert kv_quant != "int4", \
                 "int4 KV does not support per-row offsets (SJD)"
+        # multi-device serving: a (data, model) Mesh whose params the
+        # caller sharded via parallel.mesh.shard_janus_params.  The engine
+        # shards the fused 2B CFG batch on the data axis (cond rows
+        # [0:B] and uncond [B:2B] stay aligned because B is padded to a
+        # multiple of the dp size) and GSPMD propagates the TP layouts
+        # through the cached decode scan — the reference's equivalent is
+        # Lightning DDP over ranks (ospo/utils/generate.py:5-15)
+        self.mesh = mesh
         self._decode_fn = jax.jit(self._decode_tokens)
 
     # ------------------------------------------------------------------
@@ -222,6 +231,98 @@ class ImageGenEngine:
             outs.append(seg_toks.T)
             start = end
         return jnp.concatenate(outs, axis=1)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _forced_cfg_logits(self, params, tokens, attn_mask, forced,
+                           cfg_weight):
+        """Teacher-forced CFG decode: run the SAME cached decode loop as
+        ``_generate_tokens`` (same KV layout/quantization/segmentation)
+        but feed the provided ``forced`` image tokens [B, n_img] instead
+        of sampling, and return the fused CFG logits at every step
+        [B, n_img, V].  This is the decode-divergence probe: comparing
+        bf16-cache vs int8/int4-cache engines teacher-forced on one token
+        sequence isolates the quantization error per step (the serving
+        quality gate for ``kv_quant`` — scripts/validate_weights.py)."""
+        cfg = self.model.cfg
+        two_b, t_prompt = tokens.shape
+        b = two_b // 2
+        n_img = self.image_token_num
+        s_max = t_prompt + n_img
+        if self.decode_kernel:
+            s_max = ((s_max + 63) // 64) * 64
+
+        inputs_embeds = janus_lib.embed_text(params, tokens)
+        positions = llama.positions_from_mask(attn_mask)
+        kv = llama.init_kv_cache(cfg.language, two_b, s_max,
+                                 quantized=self.kv_quant,
+                                 layout=self.kv_layout)
+        hidden, kv = janus_lib.language_forward(
+            params, cfg, inputs_embeds, attn_mask, positions,
+            kv_cache=kv, self_attn=True, cache_layout=self.kv_layout,
+        )
+        prompt_len = jnp.sum(attn_mask, axis=-1)
+        window_mask = jnp.concatenate(
+            [attn_mask, jnp.ones((two_b, n_img), attn_mask.dtype),
+             jnp.zeros((two_b, s_max - t_prompt - n_img), attn_mask.dtype)],
+            axis=-1,
+        )
+
+        def fused_from_hidden(hidden_last):
+            logits = janus_lib.gen_logits(params, hidden_last[:, None, :])[:, 0]
+            cond, uncond = logits[:b], logits[b:]
+            return (uncond + cfg_weight * (cond - uncond)).astype(jnp.float32)
+
+        def feed(step):
+            tok = jax.lax.dynamic_slice_in_dim(forced, step, 1, axis=1)[:, 0]
+            both = jnp.concatenate([tok, tok])
+            embeds = janus_lib.prepare_gen_img_embeds(params, cfg, both[:, None])
+            pos = (prompt_len + step)[:, None]
+            return embeds, pos
+
+        logits0 = fused_from_hidden(hidden[:, -1])
+        embeds, pos = feed(0)
+
+        def make_body(window):
+            def body(carry, step):
+                kv, embeds, pos = carry
+                hidden, kv = janus_lib.language_forward(
+                    params, cfg, embeds, window_mask[:, :window], pos,
+                    kv_cache=kv, attn_window=window,
+                    decode_kernel=self.decode_kernel,
+                    cache_layout=self.kv_layout,
+                )
+                fused = fused_from_hidden(hidden[:, -1])
+                embeds, pos = feed(step)
+                return (kv, embeds, pos), fused
+
+            return body
+
+        n_seg = min(self.decode_segments, max(1, (n_img - 1) // 64))
+        bounds = [1 + (n_img - 1) * (s + 1) // n_seg for s in range(n_seg)]
+        carry = (kv, embeds, pos)
+        outs = [logits0[:, None]]
+        start = 1
+        for end in bounds:
+            if end <= start:
+                continue
+            window = s_max if self.decode_kernel else \
+                min(s_max, ((t_prompt + end + 63) // 64) * 64)
+            carry, seg = jax.lax.scan(
+                make_body(window), carry,
+                jnp.arange(start, end, dtype=jnp.int32),
+            )
+            outs.append(jnp.transpose(seg, (1, 0, 2)))
+            start = end
+        return jnp.concatenate(outs, axis=1)          # [B, n_img, V]
+
+    def forced_cfg_logits(self, prompts: Sequence[str],
+                          forced_tokens: np.ndarray) -> np.ndarray:
+        """Host wrapper: teacher-forced fused CFG logits [B, n_img, V]."""
+        tokens, mask = self.build_cfg_batch(list(prompts))
+        return np.asarray(self._forced_cfg_logits(
+            self.model.params, jnp.asarray(tokens), jnp.asarray(mask),
+            jnp.asarray(forced_tokens, jnp.int32),
+            jnp.float32(self.cfg_weight)))
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _generate_tokens_sjd(self, params, tokens, attn_mask, rng,
@@ -368,14 +469,25 @@ class ImageGenEngine:
     # public API
     # ------------------------------------------------------------------
     def generate_tokens(self, prompts: Sequence[str], seed: int = 0) -> np.ndarray:
+        from ospo_tpu.parallel import mesh as mesh_lib
+
         b_real = len(prompts)
         # batch bucket (powers of two) so ragged final batches don't retrace
         b_bucket = 1 << (b_real - 1).bit_length() if self.batch_bucketing else b_real
+        # under a mesh the CFG-pair count must divide evenly across the
+        # data axis (keeps the cond/uncond halves shard-aligned)
+        dp = mesh_lib.data_parallel_size(self.mesh)
+        b_bucket = ((b_bucket + dp - 1) // dp) * dp
         prompts = list(prompts) + [prompts[-1]] * (b_bucket - b_real)
         tokens, mask = self.build_cfg_batch(prompts)
+        rng = jax.random.PRNGKey(seed)
+        if self.mesh is not None:
+            tokens = mesh_lib.shard_on_axis(jnp.asarray(tokens), self.mesh)
+            mask = mesh_lib.shard_on_axis(jnp.asarray(mask), self.mesh)
+            rng = mesh_lib.replicate(rng, self.mesh)
         args = (
             self.model.params, jnp.asarray(tokens), jnp.asarray(mask),
-            jax.random.PRNGKey(seed),
+            rng,
             jnp.float32(self.cfg_weight), jnp.float32(self.temperature),
         )
         if self.speculative > 0:
@@ -388,7 +500,13 @@ class ImageGenEngine:
     def generate_images(self, prompts: Sequence[str], seed: int = 0) -> np.ndarray:
         """prompts (already T2I-formatted) → uint8 images [B, H, W, 3]."""
         gen_tokens = self.generate_tokens(prompts, seed=seed)
-        pixels = self._decode_fn(self.model.params, jnp.asarray(gen_tokens))
+        toks = jnp.asarray(gen_tokens)
+        if self.mesh is not None:
+            from ospo_tpu.parallel import mesh as mesh_lib
+
+            if toks.shape[0] % mesh_lib.data_parallel_size(self.mesh) == 0:
+                toks = mesh_lib.shard_on_axis(toks, self.mesh)
+        pixels = self._decode_fn(self.model.params, toks)
         return self.processor.image_processor.denormalize_to_uint8(
             np.asarray(pixels, np.float32)
         )

@@ -27,9 +27,18 @@ def _bucket(n: int, step: int = 64) -> int:
 
 
 class ScoringEngine:
-    def __init__(self, model: janus_lib.JanusModel, processor: Processor):
+    def __init__(self, model: janus_lib.JanusModel, processor: Processor,
+                 mesh=None, kv_quant: bool = False):
         self.model = model
         self.processor = processor
+        # multi-device serving mesh (params sharded by the caller via
+        # parallel.mesh.shard_janus_params); the image batch shards on
+        # 'data', the trunk TP layouts propagate through the prefix cache
+        self.mesh = mesh
+        # int8 prefix KV cache: halves the dominant suffix-phase HBM
+        # stream and the cache footprint, enabling larger cross-item
+        # image batches on a 16 GB chip (quality bound: test_kv_quant.py)
+        self.kv_quant = kv_quant
         self._shared_oom = False  # sticky fallback (see score_images)
         tok = processor.tokenizer
         self.yes_ids = [tok("yes", add_special_tokens=False).input_ids[-1],
@@ -81,7 +90,7 @@ class ScoringEngine:
         # layout copies of K/V at 7B (same phenomenon as the image
         # engine's large-batch decode; see llama.init_kv_cache)
         kv = llama.init_kv_cache(cfg.language, b, p + suffix_ids.shape[-1],
-                                 layout="shbd")
+                                 layout="shbd", quantized=self.kv_quant)
         _, kv = janus_lib.language_forward(
             params, cfg, embeds, attn_mask, positions,
             kv_cache=kv, self_attn=True, cache_layout="shbd",
@@ -136,84 +145,138 @@ class ScoringEngine:
         (the reference recomputes everything per image AND per batch —
         vqa.py:161-204).  ``share_prefix=False`` falls back to the
         single-forward N·Q-row path."""
+        return self.score_images_multi(
+            images, [list(questions)] * len(images),
+            share_prefix=share_prefix)
+
+    def score_images_multi(self, images: Sequence,
+                           questions_per_image: Sequence[Sequence[str]],
+                           share_prefix: bool = True) -> List[Dict]:
+        """N images, each with its OWN question list — cross-item batching
+        for step 4b (images from MULTIPLE items share one program; the
+        common token prefix always contains the template + 576-token image
+        span, since per-item text only begins at the question).  Padded
+        question slots (items with fewer questions than the batch max)
+        repeat the image's last suffix and are dropped before scoring."""
+        assert len(images) == len(questions_per_image)
         if share_prefix and not self._shared_oom:
             try:
-                return self._score_images_shared(images, questions)
+                return self._score_shared_multi(images, questions_per_image)
             except jax.errors.JaxRuntimeError as e:
                 import sys
+                import traceback
 
-                msg = str(e)
-                if not ("RESOURCE_EXHAUSTED" in msg or "memory" in msg
-                        or "hbm" in msg):
-                    raise  # only OOMs fall back; real bugs stay loud
+                # only genuine allocator OOMs fall back (RESOURCE_EXHAUSTED
+                # is the XLA allocator's status code); any other runtime
+                # error — even one that *mentions* memory — stays loud
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                traceback.print_exc(file=sys.stderr)
                 print("# scoring: shared-prefix path OOMed — falling back "
                       "to the single-forward path (a bf16 7B trunk + "
                       "prefix cache + XLA's cache layout copies exceed a "
                       "16 GB chip; int8 weights fit)", file=sys.stderr)
                 self._shared_oom = True  # sticky: don't retry every item
-        return self._score_images_full(images, questions)
+        out: List[Dict] = []
+        for img, qs in zip(images, questions_per_image):
+            out.extend(self._score_images_full([img], qs))
+        return out
 
-    def _score_images_shared(self, images: Sequence,
-                             questions: Sequence[str]) -> List[Dict]:
-        n, q_count = len(images), len(questions)
-        # tokenize the Q conversations once — ids are image-independent, so
-        # a 1×1 stub avoids re-running image preprocessing per question
+    def _score_shared_multi(self, images: Sequence,
+                            questions_per_image) -> List[Dict]:
+        from ospo_tpu.parallel import mesh as mesh_lib
+
+        n_real = len(images)
+        # image batch must divide across the data axis — pad with repeats
+        # of the last image and trim the scores afterwards
+        dp = mesh_lib.data_parallel_size(self.mesh)
+        pad_n = (-n_real) % dp
+        images = list(images) + [images[-1]] * pad_n
+        questions_per_image = (list(questions_per_image)
+                               + [questions_per_image[-1]] * pad_n)
+        n = len(images)
+        # tokenize each image's Q conversations once — ids are
+        # image-independent, so a 1×1 stub avoids re-running image
+        # preprocessing per question
         from PIL import Image as PILImage
 
         stub = PILImage.new("RGB", (1, 1))
-        prepares = [
-            self.processor.process_one(conversations=c, images=[stub])
-            for c in self.question_conversations(stub, questions)
-        ]
-        ids = [np.asarray(p.input_ids, np.int32) for p in prepares]
-        minlen = min(len(a) for a in ids)
-        stacked = np.stack([a[:minlen] for a in ids])
+        ids_per_img: List[List[np.ndarray]] = []
+        for qs in questions_per_image:
+            prepares = [
+                self.processor.process_one(conversations=c, images=[stub])
+                for c in self.question_conversations(stub, qs)
+            ]
+            ids_per_img.append(
+                [np.asarray(p.input_ids, np.int32) for p in prepares])
+
+        # common token prefix across EVERY (image, question) sequence
+        all_ids = [a for ids in ids_per_img for a in ids]
+        minlen = min(len(a) for a in all_ids)
+        stacked = np.stack([a[:minlen] for a in all_ids])
         neq = (stacked != stacked[0]).any(axis=0)
         common = minlen if not neq.any() else int(np.argmax(neq))
         common = min(common, minlen - 1)  # ≥1 suffix token (Q=1 / dup qs)
         # the image span from the expanded ids (inside the shared prefix)
-        seq_mask_full = np.asarray(ids[0]) == self.processor.image_id
+        seq_mask_full = np.asarray(all_ids[0]) == self.processor.image_id
         assert not seq_mask_full[common:].any(), \
             "image span must sit inside the shared prefix"
 
         # prefix batch over images, left-padded to a bucket
         p_b = _bucket(common)
         lpad = p_b - common
-        prefix_ids = np.pad(ids[0][:common], (lpad, 0),
+        prefix_ids = np.pad(all_ids[0][:common], (lpad, 0),
                             constant_values=self.processor.pad_id)
         prefix_mask = np.pad(np.ones(common, np.int32), (lpad, 0))
         prefix_seq_mask = np.pad(seq_mask_full[:common], (lpad, 0))
         pixel_values = np.stack([
             self.processor.image_processor([img])[0] for img in images
-        ])[:, None]                                      # [N, 1, H, W, 3]
+        ])                                               # [N, H, W, 3]
         t2 = self.processor.num_image_tokens
         emb_mask = np.ones((n, 1, t2), bool)
 
-        suffixes = [a[common:] for a in ids]
-        t_b = _bucket(max(len(s) for s in suffixes), step=16)
-        sfx_ids = np.stack([
-            np.pad(s, (t_b - len(s), 0),
-                   constant_values=self.processor.pad_id) for s in suffixes
-        ])                                               # [Q, T_b]
-        sfx_mask = np.stack([
-            np.pad(np.ones(len(s), np.int32), (t_b - len(s), 0))
-            for s in suffixes
-        ])
-        img_embeds = self._encode_images(
-            self.model.params, jnp.asarray(pixel_values[:, 0]))
-        probs_qn = np.asarray(self._shared_prefix_probs(
-            self.model.params,
+        # per-image suffix stacks, Q padded to an even bucket (bounds the
+        # distinct compile signatures across items' question counts) by
+        # repeating the image's last suffix; T to a 16-step bucket
+        q_counts = [len(ids) for ids in ids_per_img]
+        q_b = max(2, ((max(q_counts) + 1) // 2) * 2)
+        t_b = _bucket(max(len(a) - common for a in all_ids), step=16)
+        sfx_ids = np.full((q_b, n, t_b), self.processor.pad_id, np.int32)
+        sfx_mask = np.zeros((q_b, n, t_b), np.int32)
+        for i, ids in enumerate(ids_per_img):
+            for qi in range(q_b):
+                s = ids[min(qi, len(ids) - 1)][common:]
+                sfx_ids[qi, i, t_b - len(s):] = s
+                sfx_mask[qi, i, t_b - len(s):] = 1
+
+        operands = [
             jnp.asarray(np.tile(prefix_ids, (n, 1))),
             jnp.asarray(np.tile(prefix_mask, (n, 1))),
-            img_embeds,
+            jnp.asarray(pixel_values),
             jnp.asarray(np.tile(prefix_seq_mask, (n, 1))),
             jnp.asarray(emb_mask),
-            jnp.asarray(np.tile(sfx_ids[:, None], (1, n, 1))),
-            jnp.asarray(np.tile(sfx_mask[:, None], (1, n, 1))),
-        ))                                               # [Q, N, V]
-        # rows in (image-major, question-minor) order like the full path
-        probs = np.transpose(probs_qn, (1, 0, 2)).reshape(n * q_count, -1)
-        return self._collect_scores(probs, n, q_count)
+            jnp.asarray(sfx_ids),
+            jnp.asarray(sfx_mask),
+        ]
+        if self.mesh is not None:
+            # image batch on 'data': axis 0 everywhere except the [Q, N, T]
+            # suffix operands, whose batch sits on axis 1
+            operands = [
+                mesh_lib.shard_on_axis(x, self.mesh, axis=1 if i >= 5 else 0)
+                for i, x in enumerate(operands)
+            ]
+        img_embeds = self._encode_images(self.model.params, operands[2])
+        probs_qn = np.asarray(self._shared_prefix_probs(
+            self.model.params,
+            operands[0], operands[1], img_embeds,
+            operands[3], operands[4], operands[5], operands[6],
+        ))                                               # [Q_b, N, V]
+        return [
+            self._collect_scores(
+                np.ascontiguousarray(probs_qn[:q_counts[i], i]),
+                1, q_counts[i])[0]
+            for i in range(n_real)
+        ]
 
     def _score_images_full(self, images: Sequence,
                            questions: Sequence[str]) -> List[Dict]:

@@ -43,6 +43,7 @@ class TextGenEngine:
         top_p: Optional[float] = None,
         do_sample: bool = True,
         kv_quant: bool = False,
+        mesh=None,
     ):
         self.model = model
         self.processor = processor
@@ -51,11 +52,15 @@ class TextGenEngine:
         self.top_p = top_p
         self.do_sample = bool(do_sample)
         self.kv_quant = kv_quant
+        # multi-device serving mesh (params sharded by the caller via
+        # parallel.mesh.shard_janus_params); batches shard on 'data'
+        self.mesh = mesh
 
     @classmethod
     def from_generation_config(cls, model, processor, gen_cfg) -> "TextGenEngine":
         """Build from a step-config ``generation_config`` block (same keys
-        as the HF kwargs the reference passes through)."""
+        as the HF kwargs the reference passes through).  Inherits the
+        model's serving mesh when the factory sharded it."""
         gen_cfg = gen_cfg or {}
         return cls(
             model,
@@ -64,6 +69,7 @@ class TextGenEngine:
             temperature=gen_cfg.get("temperature", 1.0),
             top_p=gen_cfg.get("top_p"),
             do_sample=gen_cfg.get("do_sample", True),
+            mesh=getattr(model, "mesh", None),
         )
 
     # ------------------------------------------------------------------
@@ -177,8 +183,13 @@ class TextGenEngine:
                                constant_values=self.processor.pad_id)
             mask = np.pad(mask, ((0, 0), (pad, 0)))
         # batch bucket (powers of two): ragged final pipeline batches reuse
-        # the compiled program instead of retracing
+        # the compiled program instead of retracing; under a mesh the batch
+        # must divide evenly across the data axis
+        from ospo_tpu.parallel import mesh as mesh_lib
+
+        dp = mesh_lib.data_parallel_size(self.mesh)
         b_bucket = 1 << (b_real - 1).bit_length()
+        b_bucket = ((b_bucket + dp - 1) // dp) * dp
         if b_bucket != b_real:
             reps = b_bucket - b_real
             input_ids = np.concatenate(
@@ -186,8 +197,13 @@ class TextGenEngine:
             mask = np.concatenate([mask, np.repeat(mask[-1:], reps, 0)])
         if rng is None:
             rng = jax.random.PRNGKey(0 if seed is None else seed)
+        input_ids, mask = jnp.asarray(input_ids), jnp.asarray(mask)
+        if self.mesh is not None:
+            input_ids = mesh_lib.shard_on_axis(input_ids, self.mesh)
+            mask = mesh_lib.shard_on_axis(mask, self.mesh)
+            rng = mesh_lib.replicate(rng, self.mesh)
         out = self._generate(
-            self.model.params, jnp.asarray(input_ids), jnp.asarray(mask), rng,
+            self.model.params, input_ids, mask, rng,
             jnp.float32(self.temperature),
             max_new=self.max_new_tokens, do_sample=self.do_sample,
             top_p=self.top_p,

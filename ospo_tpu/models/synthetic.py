@@ -200,15 +200,34 @@ def _hf_config(cfg) -> Dict:
             "rms_norm_eps": lc.rms_norm_eps,
             "max_position_embeddings": lc.max_seq_len,
         },
+        # explicit shape params beyond the reference's model_name registry
+        # so NON-standard (tiny/test) checkpoints self-describe; real
+        # checkpoints without them fall back to the named preset in
+        # weights.config_from_checkpoint
         "vision_config": {"params": {
             "model_name": model_name,
             "image_size": cfg.vision.image_size,
             "select_layer": cfg.vision.select_layer,
+            "width": cfg.vision.width,
+            "layers": cfg.vision.layers,
+            "heads": cfg.vision.heads,
+            "patch_size": cfg.vision.patch_size,
+            "mlp_ratio": cfg.vision.mlp_ratio,
         }},
         "gen_vision_config": {"params": {
             "n_embed": cfg.gen_embed_dim,
             "image_token_size": cfg.image_token_size,
+            "image_size": cfg.gen_image_size,
+            "vq": {
+                "codebook_size": cfg.vq.codebook_size,
+                "codebook_dim": cfg.vq.codebook_dim,
+                "base_ch": cfg.vq.base_ch,
+                "ch_mult": list(cfg.vq.ch_mult),
+                "num_res_blocks": cfg.vq.num_res_blocks,
+                "z_channels": cfg.vq.z_channels,
+            },
         }},
+        "torch_dtype": str(np.dtype(cfg.dtype)),
         "aligner_config": {"params": {"depth": cfg.aligner_depth}},
         "gen_aligner_config": {"params": {"depth": cfg.gen_aligner_depth}},
     }

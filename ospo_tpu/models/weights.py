@@ -316,6 +316,10 @@ def config_from_checkpoint(model_path: str) -> janus_lib.JanusConfig:
     """Build a JanusConfig from the HF ``config.json``."""
     with open(os.path.join(model_path, "config.json")) as f:
         hf = json.load(f)
+    import jax.numpy as jnp
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}.get(
+        hf.get("torch_dtype"), jnp.bfloat16)
     lc = hf.get("language_config", {})
     lang = llama_lib.LlamaConfig(
         vocab_size=lc.get("vocab_size", 102400),
@@ -327,6 +331,7 @@ def config_from_checkpoint(model_path: str) -> janus_lib.JanusConfig:
         rope_theta=lc.get("rope_theta", 10000.0),
         rms_norm_eps=lc.get("rms_norm_eps", 1e-6),
         max_seq_len=lc.get("max_position_embeddings", 4096),
+        dtype=dtype,
     )
     vp = hf.get("vision_config", {}).get("params", {})
     model_name = vp.get("model_name", "siglip_large_patch16_384")
@@ -337,22 +342,40 @@ def config_from_checkpoint(model_path: str) -> janus_lib.JanusConfig:
     base_vit = presets.get(model_name, vit_lib.SIGLIP_LARGE_384)
     import dataclasses as dc
 
+    # explicit shape params (synthetic/test checkpoints self-describe
+    # beyond the reference's model_name registry) win over the preset
     vision = dc.replace(
         base_vit,
         image_size=vp.get("image_size", 384),
         select_layer=vp.get("select_layer", base_vit.select_layer),
+        **{k: vp[k] for k in ("width", "layers", "heads", "patch_size",
+                              "mlp_ratio") if k in vp},
     )
     gvp = hf.get("gen_vision_config", {}).get("params", {})
+    vqp = gvp.get("vq")
+    if vqp:
+        vq = vqgan_lib.VQConfig(
+            codebook_size=vqp.get("codebook_size", 16384),
+            codebook_dim=vqp.get("codebook_dim", 8),
+            base_ch=vqp.get("base_ch", 128),
+            ch_mult=tuple(vqp.get("ch_mult", (1, 1, 2, 2, 4))),
+            num_res_blocks=vqp.get("num_res_blocks", 2),
+            z_channels=vqp.get("z_channels", 256),
+        )
+    else:
+        vq = vqgan_lib.VQ_16
     ap = hf.get("aligner_config", {}).get("params", {})
     gap = hf.get("gen_aligner_config", {}).get("params", {})
     return janus_lib.JanusConfig(
         language=lang,
-        vision=vision,
-        vq=vqgan_lib.VQ_16,
+        vision=dc.replace(vision, dtype=dtype),
+        vq=vq,
         gen_embed_dim=gvp.get("n_embed", 8),
         image_token_size=gvp.get("image_token_size", 16384),
+        gen_image_size=gvp.get("image_size", 384),
         aligner_depth=ap.get("depth", 2),
         gen_aligner_depth=gap.get("depth", 2),
+        dtype=dtype,
     )
 
 

@@ -59,7 +59,7 @@ def _kernel(scalars_ref,              # [2] int32: (layer_idx, cur_len)
             q_ref,                    # VMEM [HB, dh] bf16/f32
             k_hbm, v_hbm,             # ANY [L, S, HB, dh]
             ks_hbm, vs_hbm,           # ANY [L, S, HB] f32 (or dummy)
-            mask_ref,                 # VMEM [S, HB] int32 key validity
+            mask_ref,                 # VMEM [S, HB] int8 key validity
             o_ref,                    # VMEM [HB, dh]
             kbuf, vbuf,               # VMEM scratch (2, blk, HB, dh)
             ksbuf, vsbuf,             # VMEM scratch (2, blk, HB)
@@ -198,14 +198,33 @@ def decode_attention(
         hbc //= 2
     quantized = k_scale is not None
 
+    # double-buffered K/V scratch must fit the scoped-VMEM budget: with a
+    # bf16 cache at the 7B serving point (HB=1536, blk=64) it is ~101 MB,
+    # so halve blk until the scratch (plus fp32 scale buffers) fits, and
+    # derive vmem_limit_bytes from the actual footprint instead of a fixed
+    # constant (ADVICE r2: fixed 100 MB failed to compile bf16 caches)
+    def _scratch_bytes(b):
+        kv = 2 * 2 * b * HB * dh * k_cache.dtype.itemsize      # K+V, 2 slots
+        scales = (2 * 2 * b * HB * 4) if quantized else 0
+        return kv + scales
+
+    while blk > 8 and _scratch_bytes(blk) > 96 * 1024 * 1024:
+        blk //= 2
+    if S % blk != 0 and not interpret:
+        raise ValueError(
+            f"decode_attention: cache window S={S} not a multiple of the "
+            f"dtype-scaled block {blk}")
+    vmem_limit = _scratch_bytes(blk) + 32 * 1024 * 1024
+
     # contiguous views: flatten (H, B) → HB (free reshapes — no copies),
     # queries to cache row order, mask tiled across heads (loop-invariant
-    # in the decode scan, so XLA hoists it out of the token loop)
+    # in the decode scan, so XLA hoists it out of the token loop); int8
+    # keeps the per-call VMEM copy at S·HB bytes instead of 4× that
     k3 = k_cache.reshape(L, S, HB, dh)
     v3 = v_cache.reshape(L, S, HB, dh)
     q_hb = jnp.transpose(q[:, 0], (1, 0, 2)).reshape(HB, dh)
     mask_hb = jnp.broadcast_to(
-        jnp.transpose(mask.astype(jnp.int32))[:, None, :], (S, H, B)
+        jnp.transpose(mask.astype(jnp.int8))[:, None, :], (S, H, B)
     ).reshape(S, HB)
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(cur_len, jnp.int32)])
@@ -246,9 +265,10 @@ def decode_attention(
         out_shape=jax.ShapeDtypeStruct((HB, dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # double-buffered K/V blocks are ~50MB of scratch at the 7B
-            # serving point — far past the 16MB default scoped-vmem limit
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # double-buffered K/V blocks are tens of MB of scratch at the
+            # 7B serving point — far past the 16MB default scoped-vmem
+            # limit; sized from the actual scratch footprint above
+            vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
     )(scalars, q_hb, k3, v3, k_scale, v_scale, mask_hb)

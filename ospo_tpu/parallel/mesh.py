@@ -147,3 +147,21 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def data_parallel_size(mesh: Optional[Mesh]) -> int:
+    return int(mesh.shape[DATA_AXIS]) if mesh is not None else 1
+
+
+def shard_on_axis(x, mesh: Mesh, axis: int = 0):
+    """device_put one array sharded across ``data`` on the given axis
+    (engines' host-built batches; the batch dim is not always leading —
+    scoring suffixes are [Q, N, T] with the image batch on axis 1)."""
+    spec = [None] * x.ndim
+    spec[axis] = DATA_AXIS
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def replicate(x, mesh: Mesh):
+    """device_put fully replicated (rng keys, scalars)."""
+    return jax.device_put(x, NamedSharding(mesh, P()))

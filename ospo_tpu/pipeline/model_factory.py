@@ -134,14 +134,20 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
         lm["lm_head"] = _jnp.zeros((1, 1), model.cfg.dtype)
         model.params = {**model.params, "language_model": lm}
 
-    # optional tensor parallelism: shard the weights over a (data, model)
-    # mesh; every downstream jit then runs GSPMD-sharded automatically
+    # optional in-process parallelism: shard the weights over a
+    # (data, model) mesh; engines pick the mesh up via ``model.mesh`` and
+    # shard their batches on the data axis (multi-PROCESS data
+    # parallelism is orthogonal — scripts/run_multihost.sh)
     tp = int(config.get("tensor_parallel") or 1)
-    if tp > 1:
+    dp = int(config.get("data_parallel") or 0)
+    model.mesh = None
+    if tp > 1 or dp > 1:
         from ospo_tpu.parallel import mesh as mesh_lib
 
-        mesh = mesh_lib.create_mesh(model_parallel=tp)
-        print(f"# Sharding params over mesh {dict(mesh.shape)} (tp={tp}).")
+        n = (dp * tp) if dp else None
+        mesh = mesh_lib.create_mesh(n_devices=n, model_parallel=tp)
+        print(f"# Sharding params over mesh {dict(mesh.shape)}.")
         model.params = mesh_lib.shard_janus_params(model.params, mesh)
+        model.mesh = mesh
 
     return model, tokenizer, processor

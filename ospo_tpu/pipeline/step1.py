@@ -69,7 +69,11 @@ def generate_elements(config, model, processor) -> List[str]:
         answers = engine.generate([prompt] * batch, rng=rng)
         for ans in answers:
             elements.update(parse_element_answer(ans, category))
-    return sorted(elements)[: max_len * 2]
+    # saved untruncated, exactly like the reference (accumulation stops once
+    # max_len uniques exist; the final answer may overshoot —
+    # ospo/wrapper/text_generation.py:39-60, 84-103). sorted() only for
+    # deterministic file contents; downstream sampling is random anyway.
+    return sorted(elements)
 
 
 # ---------------------------------------------------------------------------

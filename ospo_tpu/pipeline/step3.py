@@ -120,11 +120,14 @@ def main(config) -> None:
                   if (config.get("kv_quant") or "").lower()
                   in ("int8", "int4") else False),
         # 8 growing windows: +38% decode throughput at the 7B serving
-        # point (BENCH_NOTES); no-op for kernel/SJD runs
-        decode_segments=int(config.get("decode_segments") or 8),
+        # point (BENCH_NOTES); no-op for kernel/SJD runs. 0/1 = off
+        # (only unset falls back to the default of 8)
+        decode_segments=(8 if config.get("decode_segments") is None
+                         else int(config.get("decode_segments"))),
         speculative=int(config.get("speculative") or 0),
         decode_kernel=bool(config.get("decode_kernel")),
         kv_layout=config.get("kv_layout"),  # shbd = large-batch serving
+        mesh=getattr(model, "mesh", None),
     )
 
     data_path = config.data_path or os.path.join(

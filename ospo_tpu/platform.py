@@ -1,4 +1,4 @@
-"""Platform selection for pipeline CLIs.
+"""Platform selection + persistent compile cache for pipeline CLIs.
 
 The hosting environment may pre-register a TPU plugin and pin
 ``JAX_PLATFORMS`` at interpreter startup (sitecustomize), which silently
@@ -7,23 +7,82 @@ the user's choice through ``jax.config`` before any backend initialises —
 call it first in every CLI ``__main__``.
 
 Priority: ``OSPO_PLATFORM`` > no-op. Values: ``cpu`` / ``tpu`` / ``axon``.
+
+It also enables JAX's persistent compilation cache: cold compiles of the
+serving programs cost 160-600 s through the remote compile endpoint
+(BENCH_NOTES), so every pipeline invocation would otherwise repay them.
+``OSPO_COMPILE_CACHE`` overrides the location; ``0``/``off`` disables.
 """
 
 from __future__ import annotations
 
 import os
 
+DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/ospo_tpu/xla")
 
-def apply_platform_env() -> None:
-    plat = os.environ.get("OSPO_PLATFORM")
-    if not plat:
+
+def enable_compilation_cache() -> str | None:
+    """Point JAX's persistent compilation cache at a stable directory so
+    repeat pipeline invocations skip the multi-minute remote compiles.
+    Returns the cache dir, or None when disabled."""
+    loc = os.environ.get("OSPO_COMPILE_CACHE", DEFAULT_CACHE_DIR)
+    if loc.lower() in ("0", "off", "none", ""):
+        return None
+    import jax
+
+    os.makedirs(loc, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", loc)
+    # cache every compile that took ≥2 s — the tunnel's per-compile floor
+    # is far above the 1 s default anyway, and tiny programs are free
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    return loc
+
+
+_DIST_INITIALIZED = False
+
+
+def maybe_init_distributed() -> None:
+    """Join the multi-process runtime when launched by
+    ``scripts/run_multihost.sh`` (or any scheduler exporting
+    ``OSPO_COORDINATOR`` / ``OSPO_NUM_PROCESSES`` / ``OSPO_PROCESS_ID``) —
+    the ``jax.distributed`` equivalent of the reference's Lightning DDP
+    spawn (``ospo/utils/generate.py:5-15``).  After this, every step CLI is
+    automatically data-parallel: ``io.shard_for_process`` strides the work
+    list per process and ``io.save_json_sharded`` gathers + dedups on
+    host 0 (the ``save_json_ddp`` semantics).  No-op when unset."""
+    global _DIST_INITIALIZED
+    coord = os.environ.get("OSPO_COORDINATOR")
+    if not coord or _DIST_INITIALIZED:
         return
     import jax
 
-    if plat == "tpu" and "axon" in str(os.environ.get("JAX_PLATFORMS", "")):
-        plat = "axon"  # tunneled TPU registers under the 'axon' name
-    jax.config.update("jax_platforms", plat)
-    if plat == "cpu":
-        n = int(os.environ.get("OSPO_CPU_DEVICES", "0"))
-        if n > 1:
-            jax.config.update("jax_num_cpu_devices", n)
+    kwargs = dict(
+        coordinator_address=coord,
+        num_processes=int(os.environ["OSPO_NUM_PROCESSES"]),
+        process_id=int(os.environ["OSPO_PROCESS_ID"]),
+    )
+    ids = os.environ.get("OSPO_LOCAL_DEVICE_IDS")
+    if ids:
+        kwargs["local_device_ids"] = [int(x) for x in ids.split(",")]
+    jax.distributed.initialize(**kwargs)
+    _DIST_INITIALIZED = True
+    print(f"# distributed runtime: process {kwargs['process_id']}"
+          f"/{kwargs['num_processes']} @ {coord}", flush=True)
+
+
+def apply_platform_env(compile_cache: bool = True) -> None:
+    if compile_cache:
+        enable_compilation_cache()
+    plat = os.environ.get("OSPO_PLATFORM")
+    if plat:
+        import jax
+
+        if plat == "tpu" and "axon" in str(os.environ.get("JAX_PLATFORMS", "")):
+            plat = "axon"  # tunneled TPU registers under the 'axon' name
+        jax.config.update("jax_platforms", plat)
+        if plat == "cpu":
+            n = int(os.environ.get("OSPO_CPU_DEVICES", "0"))
+            if n > 1:
+                jax.config.update("jax_num_cpu_devices", n)
+    # after platform selection, before any backend initialises
+    maybe_init_distributed()

@@ -1,0 +1,312 @@
+"""Real-weights quality gate (round-3 VERDICT #8).
+
+Given ANY Janus-Pro checkpoint directory (HF layout: config.json +
+safetensors — the real release or a synthetic dress-rehearsal checkpoint
+from ``ospo_tpu.models.synthetic``), run the full serving-quality
+validation in one command:
+
+1. ``port``       — checkpoint → JAX pytree via the production mapping
+                    (``weights.load_janus``); per-module tensor counts /
+                    bytes / value stats; finiteness.
+2. ``modules``    — forward smoke of every pathway: ViT encode, VQ
+                    encode→decode round trip (codebook usage), trunk
+                    prefill, gen-head logits.
+3. ``divergence`` — the serving-quantization gate: teacher-forced CFG
+                    decode divergence of the production int8-weight
+                    engine with bf16 vs int8 vs int4 KV caches (and
+                    optionally bf16 vs int8 weights) on one shared token
+                    sequence: per-step KL + top-1 agreement, reported by
+                    decode quarter.  This is the harness that qualifies
+                    (or rejects) the ``kv_quant: int4`` serving point.
+4. ``samples``    — N sample images from fixed prompts + self-VQA scores
+                    (the visual smoke a human checks).
+
+Writes ``validation_report.json`` (+ sample PNGs) into ``--out``.
+
+Usage:
+    python scripts/validate_weights.py --model_path ./checkpoints/Janus-Pro-7B \
+        [--out ./validation] [--phases port,modules,divergence,samples]
+        [--tokens 576] [--batch 2] [--weight-divergence]
+
+The day a real checkpoint exists, validation is this one command; until
+then ``tests/test_validate_weights.py`` runs the whole gate on a tiny
+synthetic checkpoint in CI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def tree_stats(params) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    for mod, sub in params.items():
+        leaves = jax.tree.leaves(sub)
+        n_bytes = sum(x.size * x.dtype.itemsize for x in leaves)
+        finite = all(bool(jnp.isfinite(x.astype(jnp.float32)).all())
+                     for x in leaves)
+        big = [x for x in leaves if x.size >= 1024]
+        stds = [float(jnp.std(x.astype(jnp.float32))) for x in big[:8]]
+        out[mod] = {
+            "tensors": len(leaves),
+            "gbytes": round(n_bytes / 1e9, 3),
+            "finite": finite,
+            "sample_stds": [round(s, 5) for s in stds],
+            "degenerate": bool(big) and all(s == 0.0 for s in stds),
+        }
+    return out
+
+
+def phase_port(model) -> dict:
+    stats = tree_stats(model.params)
+    ok = all(v["finite"] and not v["degenerate"] for v in stats.values())
+    return {"ok": ok, "modules": stats}
+
+
+def phase_modules(model, processor) -> dict:
+    """Forward smoke of every pathway on deterministic inputs."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ospo_tpu.models import janus as janus_lib
+    from ospo_tpu.models import llama, vqgan
+
+    cfg = model.cfg
+    rng = np.random.RandomState(0)
+    report = {}
+
+    # understanding pathway: image → ViT → aligner embeds
+    side = cfg.vision.image_size
+    pix = jnp.asarray(rng.rand(2, side, side, 3).astype(np.float32) * 2 - 1)
+    emb = janus_lib.encode_images(model.params, cfg, pix)
+    report["vit_embeds"] = {
+        "shape": list(emb.shape),
+        "std": float(jnp.std(emb.astype(jnp.float32))),
+        "finite": bool(jnp.isfinite(emb.astype(jnp.float32)).all()),
+    }
+
+    # generation pathway: pixels → VQ codes → pixels
+    gside = cfg.gen_image_size
+    gpix = jnp.asarray(rng.rand(2, gside, gside, 3).astype(np.float32) * 2 - 1)
+    codes = vqgan.encode_to_ids(model.params["gen_vision_model"], cfg.vq, gpix)
+    latent = gside // cfg.vq.downsample_factor
+    recon = vqgan.decode_code(model.params["gen_vision_model"], cfg.vq,
+                              codes, latent_hw=(latent, latent))
+    usage = len(np.unique(np.asarray(codes)))
+    report["vq_roundtrip"] = {
+        "codes_shape": list(codes.shape),
+        "distinct_codes": usage,
+        "recon_std": float(jnp.std(recon.astype(jnp.float32))),
+        "finite": bool(jnp.isfinite(recon.astype(jnp.float32)).all()),
+    }
+
+    # language trunk + both heads
+    ids = jnp.asarray(rng.randint(0, cfg.language.vocab_size, (2, 16)),
+                      jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    x = janus_lib.embed_text(model.params, ids)
+    hidden, _ = janus_lib.language_forward(
+        model.params, cfg, x, mask, llama.positions_from_mask(mask))
+    lm = janus_lib.lm_logits(model.params, hidden[:, -1:, :])
+    gen = janus_lib.gen_logits(model.params, hidden[:, -1:, :])
+    report["trunk"] = {
+        "lm_logits_std": float(jnp.std(lm.astype(jnp.float32))),
+        "gen_logits_std": float(jnp.std(gen.astype(jnp.float32))),
+        "finite": bool(jnp.isfinite(lm.astype(jnp.float32)).all()
+                       and jnp.isfinite(gen.astype(jnp.float32)).all()),
+    }
+    report["ok"] = all(v["finite"] for v in report.values()
+                       if isinstance(v, dict))
+    return report
+
+
+def _divergence_metrics(ref, test) -> dict:
+    """ref/test: [B, T, V] fp32 fused CFG logits on the same forced
+    sequence → per-quarter KL(ref‖test) and top-1 agreement."""
+    import numpy as np
+
+    def logsoftmax(x):
+        x = x - x.max(-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(-1, keepdims=True))
+
+    lp, lq = logsoftmax(ref), logsoftmax(test)
+    kl = (np.exp(lp) * (lp - lq)).sum(-1)                  # [B, T]
+    agree = (ref.argmax(-1) == test.argmax(-1))            # [B, T]
+    T = ref.shape[1]
+    quarters = []
+    for qi in range(4):
+        sl = slice(qi * T // 4, (qi + 1) * T // 4)
+        quarters.append({
+            "kl_mean": float(kl[:, sl].mean()),
+            "kl_p95": float(np.percentile(kl[:, sl], 95)),
+            "top1_agree": float(agree[:, sl].mean()),
+        })
+    return {
+        "kl_mean": float(kl.mean()),
+        "kl_max": float(kl.max()),
+        "top1_agree": float(agree.mean()),
+        "by_quarter": quarters,
+    }
+
+
+def phase_divergence(model, processor, n_tokens: int, batch: int,
+                     weight_divergence: bool, model_path: str) -> dict:
+    """Teacher-forced serving-quantization divergence (the int4 gate)."""
+    import numpy as np
+    from ospo_tpu.engine.image_engine import ImageGenEngine
+    from ospo_tpu.processing import t2i_prompt
+
+    cfg = model.cfg
+    prompts = [t2i_prompt(processor, p) for p in
+               ["A red cube on a blue sphere",
+                "Two cats sitting on a wooden bench"] * ((batch + 1) // 2)]
+    prompts = prompts[:batch]
+    kw = dict(image_token_num=min(n_tokens, cfg.num_gen_tokens),
+              img_size=cfg.gen_image_size,
+              patch_size=cfg.vq.downsample_factor,
+              batch_bucketing=False, kv_layout="shbd", decode_segments=8)
+
+    report = {}
+    # the reference sequence + logits come from the serving-weight (int8
+    # when quantized upstream, else bf16) engine with a bf16 KV cache
+    ref_engine = ImageGenEngine(model, processor, kv_quant=False, **kw)
+    forced = ref_engine.generate_tokens(prompts, seed=0)
+    ref_logits = ref_engine.forced_cfg_logits(prompts, forced)
+
+    for kv in ("int8", "int4"):
+        eng = ImageGenEngine(model, processor, kv_quant=kv, **kw)
+        test_logits = eng.forced_cfg_logits(prompts, forced)
+        report[f"kv_{kv}_vs_bf16"] = _divergence_metrics(ref_logits,
+                                                         test_logits)
+        print(f"# divergence kv={kv}: {report[f'kv_{kv}_vs_bf16']['kl_mean']:.5f} "
+              f"mean KL, {report[f'kv_{kv}_vs_bf16']['top1_agree']:.3f} top-1",
+              flush=True)
+
+    if weight_divergence:
+        # bf16-weight reference vs int8 weights, both bf16 KV.  Requires
+        # the model to have been loaded UNquantized (--quantize none) and
+        # both trunks to co-reside — run this phase alone on >16 GB, or
+        # on small/tiny models.
+        import jax
+        import jax.numpy as jnp
+        from ospo_tpu.models import janus as janus_lib
+        from ospo_tpu.ops import quant
+
+        lm = model.params["language_model"]
+        if any(x.dtype == jnp.int8 for x in jax.tree.leaves(lm)):
+            raise ValueError("--weight-divergence needs --quantize none "
+                             "(the loaded trunk is already int8)")
+        qparams = {**model.params,
+                   "language_model": quant.quantize_llama_params_incremental(lm)}
+        qmodel = janus_lib.JanusModel(cfg, qparams)
+        qeng = ImageGenEngine(qmodel, processor, kv_quant=False, **kw)
+        report["w_int8_vs_bf16"] = _divergence_metrics(
+            ref_logits, qeng.forced_cfg_logits(prompts, forced))
+
+    report["n_tokens"] = int(forced.shape[1])
+    report["batch"] = batch
+    return report
+
+
+def phase_samples(model, processor, out_dir: str, n_samples: int = 3) -> dict:
+    import numpy as np
+    from PIL import Image
+    from ospo_tpu.engine.image_engine import ImageGenEngine
+    from ospo_tpu.engine.scoring import ScoringEngine
+
+    cfg = model.cfg
+    prompts = ["A red cube on a blue sphere",
+               "Two cats sitting on a wooden bench",
+               "A green apple next to a yellow banana"][:n_samples]
+    engine = ImageGenEngine(
+        model, processor, image_token_num=cfg.num_gen_tokens,
+        img_size=cfg.gen_image_size, patch_size=cfg.vq.downsample_factor,
+        kv_quant="int8", kv_layout="shbd", decode_segments=8)
+    images = engine.generate_from_raw_prompts(prompts, seed=0)
+
+    scorer = ScoringEngine(model, processor)
+    report = {"samples": []}
+    os.makedirs(out_dir, exist_ok=True)
+    for i, (prompt, img) in enumerate(zip(prompts, images)):
+        path = os.path.join(out_dir, f"sample_{i}.png")
+        Image.fromarray(img).save(path)
+        qs = [f"Does this image show: {prompt.lower()}?",
+              f"This image is generated by a prompt: {prompt}. "
+              "Does this image accurately represent the prompt?"]
+        scores = scorer.score_images([Image.fromarray(img)], qs)[0]
+        report["samples"].append({
+            "prompt": prompt, "path": path,
+            "pixel_std": float(np.std(img.astype(np.float32))),
+            "local_score": scores["local_score"],
+            "global_score": scores["global_score"],
+        })
+    report["ok"] = all(s["pixel_std"] > 1.0 for s in report["samples"])
+    return report
+
+
+def main(argv=None) -> dict:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_path", required=True)
+    parser.add_argument("--out", default="./validation")
+    parser.add_argument("--phases",
+                        default="port,modules,divergence,samples")
+    parser.add_argument("--tokens", type=int, default=576)
+    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--quantize", default="int8",
+                        help="serving weight quantization for divergence/"
+                             "samples (int8 | none)")
+    parser.add_argument("--weight-divergence", action="store_true",
+                        help="also measure bf16-vs-int8 WEIGHT divergence "
+                             "(double trunk residency — needs >16GB or a "
+                             "small model)")
+    args = parser.parse_args(argv)
+
+    from ospo_tpu.config import Config
+    from ospo_tpu.pipeline.model_factory import get_model
+
+    t0 = time.time()
+    phases = [p.strip() for p in args.phases.split(",") if p.strip()]
+    config = Config.from_nested({
+        "model_path": args.model_path,
+        "quantize": args.quantize if args.quantize != "none" else None,
+    })
+    model, tokenizer, processor = get_model(config)
+
+    report = {"model_path": args.model_path, "phases": phases,
+              "quantize": args.quantize}
+    if "port" in phases:
+        report["port"] = phase_port(model)
+        print(f"# port: ok={report['port']['ok']}", flush=True)
+    if "modules" in phases:
+        report["modules"] = phase_modules(model, processor)
+        print(f"# modules: ok={report['modules']['ok']}", flush=True)
+    if "divergence" in phases:
+        report["divergence"] = phase_divergence(
+            model, processor, args.tokens, args.batch,
+            args.weight_divergence, args.model_path)
+    if "samples" in phases:
+        report["samples"] = phase_samples(model, processor, args.out)
+        print(f"# samples: ok={report['samples']['ok']}", flush=True)
+
+    report["elapsed_s"] = round(time.time() - t0, 1)
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, "validation_report.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"# validation report → {path} ({report['elapsed_s']}s)")
+    return report
+
+
+if __name__ == "__main__":
+    from ospo_tpu.platform import apply_platform_env
+
+    apply_platform_env()
+    main()

@@ -33,10 +33,12 @@ SLOW_MODULES = {
     "test_inference_cli",
     "test_model_factory",
     "test_multichip",
+    "test_multihost_pipeline",
     "test_pipeline_e2e",
     "test_quant",
     "test_step1",
     "test_synthetic_checkpoint",
+    "test_validate_weights",
     "test_trainer_extras",
 }
 

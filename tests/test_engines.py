@@ -201,3 +201,46 @@ def test_image_engine_kv_int4(setup):
         outs.append(eng.generate_tokens(prompts, seed=5))
     assert outs[0].shape == (2, 8)
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_forced_cfg_logits_matches_full_forward(setup):
+    """The teacher-forced cached-decode probe (forced_cfg_logits — the
+    quantization-divergence harness) must reproduce (a) a no-cache full
+    teacher-forced forward's fused CFG logits and (b) the engine's own
+    sampled tokens when re-sampled with the same keys."""
+    from ospo_tpu.models import llama
+
+    cfg, model, proc = setup
+    eng = ImageGenEngine(
+        model, proc, image_token_num=cfg.num_gen_tokens,
+        img_size=cfg.gen_image_size, patch_size=cfg.vq.downsample_factor,
+        batch_bucketing=False)
+    prompts = [t2i_prompt(proc, "a cat"), t2i_prompt(proc, "a dog")]
+    toks = eng.generate_tokens(prompts, seed=4)            # [B, n_img]
+    fused = eng.forced_cfg_logits(prompts, toks)           # [B, n_img, V]
+
+    # (a) no-cache teacher-forced forward
+    tokens, mask = eng.build_cfg_batch(prompts)
+    b, t_prompt = len(prompts), tokens.shape[1]
+    n_img = cfg.num_gen_tokens
+    text_emb = janus.embed_text(model.params, jnp.asarray(tokens))
+    both = jnp.concatenate([jnp.asarray(toks)] * 2, axis=0)
+    img_emb = janus.prepare_gen_img_embeds(model.params, cfg, both)
+    full_emb = jnp.concatenate([text_emb, img_emb], axis=1)
+    full_mask = jnp.concatenate(
+        [jnp.asarray(mask), jnp.ones((2 * b, n_img), jnp.int32)], axis=1)
+    pos = llama.positions_from_mask(full_mask)
+    hidden, _ = janus.language_forward(
+        model.params, cfg, full_emb, full_mask, pos)
+    logits = janus.gen_logits(
+        model.params, hidden[:, t_prompt - 1 : t_prompt + n_img - 1, :])
+    ref = (logits[b:] + eng.cfg_weight * (logits[:b] - logits[b:])).astype(
+        jnp.float32)
+    np.testing.assert_allclose(np.asarray(ref), fused, atol=2e-3, rtol=2e-3)
+
+    # (b) resampling the forced logits with the engine's key schedule
+    # reproduces the engine's sampled tokens
+    keys = jax.random.split(jax.random.PRNGKey(4), n_img)
+    for i in range(n_img):
+        re = jax.random.categorical(keys[i], jnp.asarray(fused[:, i]))
+        np.testing.assert_array_equal(np.asarray(re), toks[:, i])

@@ -1,0 +1,63 @@
+"""Launch a REAL 2-process pipeline step through scripts/run_multihost.sh:
+both processes run ``ospo_tpu.pipeline.step2`` (tiny model, fixtures input)
+over strided item shards and the merged ``long_prompt.json`` must contain
+every item exactly once — the DDP-generation-stage contract of the
+reference (Lightning spawn + save_json_ddp, ospo/utils/generate.py:5-15,
+ospo/utils/common.py:36-58)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+LAUNCHER = os.path.join(REPO, "scripts", "run_multihost.sh")
+FIXTURES = os.path.join(HERE, "fixtures", "examples")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_step2_launcher(tmp_path):
+    cfg = tmp_path / "step2.yaml"
+    cfg.write_text(
+        "seed_list: [0,1,2]\n"
+        "batch_size: 2\n"
+        "e_idx: 4\n"
+        f"data_path: {os.path.join(FIXTURES, 'step1', 'base_prompt.json')}\n"
+        f"save_path: {tmp_path / 'step2'}\n"
+        "model_preset: tiny\n"
+        "generation_config:\n"
+        "  do_sample: true\n"
+        "  temperature: 1.2\n"
+        "  top_p: 0.5\n"
+        "  max_new_tokens: 8\n"
+    )
+    env = dict(os.environ)
+    env["OSPO_PLATFORM"] = "cpu"
+    env["OSPO_COORD_PORT"] = str(_free_port())
+    env["OSPO_COMPILE_CACHE"] = "off"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # undo the test-harness device forcing for the subprocesses
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        ["bash", LAUNCHER, "2", "ospo_tpu.pipeline.step2",
+         "--cfg_path", str(cfg)],
+        env=env, cwd=REPO, capture_output=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout.decode() + proc.stderr.decode()
+
+    out = json.load(open(tmp_path / "step2" / "long_prompt.json"))
+    items = json.load(open(os.path.join(
+        FIXTURES, "step1", "base_prompt.json")))[:4]
+    assert sorted(r["item_id"] for r in out) == sorted(
+        r["item_id"] for r in items)
+    for rec in out:
+        assert len(rec["negative_prompt"]) == 3
+        assert len(rec["long_prompt"]) == 3
