@@ -319,28 +319,44 @@ def bench_score(preset: str) -> None:
     tok = ByteTokenizer(vocab_size=min(512, cfg.language.vocab_size))
     proc = Processor(tok, ImageProcessor(image_size=cfg.vision.image_size),
                      num_image_tokens=cfg.num_image_tokens)
-    engine = ScoringEngine(model, proc)
+    engine = ScoringEngine(
+        model, proc,
+        kv_quant=os.environ.get("OSPO_BENCH_SCORE_KV") == "int8")
     side = cfg.vision.image_size
     rng = np.random.default_rng(0)
-    questions = ["Is there a black umbrella?", "Is the umbrella open?",
-                 "Does this image accurately represent the prompt?"]
+    # cross-item chunks (round 3): images from DIFFERENT items share one
+    # shared-prefix program; question lists vary per item like production
+    qsets = [
+        ["Is there a black umbrella?", "Is the umbrella open?",
+         "Does this image accurately represent the prompt?"],
+        ["Is there a red car?", "Is it parked?", "Is it daytime?",
+         "Does this image accurately represent the prompt?"],
+        ["Is there a dog?",
+         "Does this image accurately represent the prompt?"],
+    ]
+    group = int(os.environ.get("OSPO_BENCH_SCORE_ROWS", "12"))
 
     def img(i):
         return Image.fromarray(
             (rng.random((side, side, 3)) * 255).astype(np.uint8))
 
-    group = 6  # one step-4 item = 3 base + 3 negative images per forward
+    def chunk(base):
+        imgs = [img(base + j) for j in range(group)]
+        # 6 consecutive images (one item) share a question list
+        qs = [qsets[(base + j) // 6 % len(qsets)] for j in range(group)]
+        return imgs, qs
+
     t0 = time.time()
-    engine.score_images([img(j) for j in range(group)], questions)  # compile
+    engine.score_images_multi(*chunk(0))  # compile
     compile_s = time.time() - t0
     times = []
     for i in range(1, 4):
         t0 = time.time()
-        engine.score_images([img(i * group + j) for j in range(group)], questions)
+        engine.score_images_multi(*chunk(i * group))
         times.append(time.time() - t0)
     dt = min(times)
     imgs_per_sec = group / dt
-    pairs_per_hour = imgs_per_sec / group * 3600
+    pairs_per_hour = imgs_per_sec / 6 * 3600  # 6 images per item/pair
     print(f"# score preset={preset} compile={compile_s:.1f}s img={dt:.2f}s",
           file=sys.stderr)
     print(json.dumps({

@@ -80,12 +80,23 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
             for idx in range(6):
                 if not prompt_lists[idx]:
                     continue
-                images = engine.generate_images(
+                # device pixels, no host sync — the worker thread fetches
+                # them while the device runs the NEXT group's decode
+                # (double-buffered: device↔host copy + PNG encode overlap
+                # device compute)
+                device_images = engine.generate_images_device(
                     prompt_lists[idx], seed=seed_list[idx % 3]
                 )
-                pending.append(
-                    png_pool.submit(save_images, images, path_lists[idx]))
-                meter.update(len(images) * engine.image_token_num)
+                n_real = len(path_lists[idx])
+
+                def fetch_and_save(dev=device_images, paths=path_lists[idx],
+                                   n=n_real):
+                    import numpy as _np
+
+                    save_images(_np.asarray(dev)[:n], paths)
+
+                pending.append(png_pool.submit(fetch_and_save))
+                meter.update(n_real * engine.image_token_num)
         except Exception as e:  # per-batch fault tolerance (reference parity)
             failed_batches += 1
             print(f"Error in step3 batch: {e}")

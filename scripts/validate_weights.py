@@ -254,7 +254,11 @@ def phase_samples(model, processor, out_dir: str, n_samples: int = 3) -> dict:
 
 def main(argv=None) -> dict:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model_path", required=True)
+    parser.add_argument("--model_path", default=None)
+    parser.add_argument("--model_preset", default=None,
+                        help="random-init preset (tiny|1b|7b) instead of a "
+                             "checkpoint — for on-chip divergence runs "
+                             "without weights on disk")
     parser.add_argument("--out", default="./validation")
     parser.add_argument("--phases",
                         default="port,modules,divergence,samples")
@@ -274,14 +278,17 @@ def main(argv=None) -> dict:
 
     t0 = time.time()
     phases = [p.strip() for p in args.phases.split(",") if p.strip()]
+    if not args.model_path and not args.model_preset:
+        parser.error("one of --model_path / --model_preset is required")
     config = Config.from_nested({
         "model_path": args.model_path,
+        "model_preset": args.model_preset,
         "quantize": args.quantize if args.quantize != "none" else None,
     })
     model, tokenizer, processor = get_model(config)
 
-    report = {"model_path": args.model_path, "phases": phases,
-              "quantize": args.quantize}
+    report = {"model_path": args.model_path or f"preset:{args.model_preset}",
+              "phases": phases, "quantize": args.quantize}
     if "port" in phases:
         report["port"] = phase_port(model)
         print(f"# port: ok={report['port']['ok']}", flush=True)
