@@ -437,10 +437,16 @@ def main() -> None:
     # bf16 (OSPO_BENCH_QUANT=bf16): ~11.4GB + 1.26GB/pair → B=4 max
     quantized = os.environ.get("OSPO_BENCH_QUANT") == "int8"
     # int4 KV: half the int8 cache bytes -> larger serving batches fit
+    # (absolute peak: B=44 -> 1071.9 tok/s, but the batch-matched ratio
+    # drops to 1.19 -- the modeled A100's bandwidth edge grows with batch)
     if os.environ.get("OSPO_BENCH_KV") == "int4":
         default_batches = [44, 40, 36, 32, 28]  # 48 OOMs
     else:
-        default_batches = [24, 20, 16, 8, 1] if quantized else [4, 2, 1]
+        # B=20 is the recorded serving default: 923.0 tok/s = 2.066x the
+        # batch-matched reference (the BASELINE.md north star); B=24 is
+        # the absolute int8 peak (993.9 = 1.88x) -- round-3 sweep,
+        # BENCH_NOTES "Serving-point sweep"
+        default_batches = [20, 16, 8, 1] if quantized else [4, 2, 1]
     batches = [int(batch_env)] if batch_env else default_batches
     prompt = "A" * prompt_len  # byte tokenizer → prompt_len tokens
 

@@ -474,6 +474,47 @@ class ImageGenEngine:
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
+    def prewarm(self, signatures, max_workers: int = 2) -> int:
+        """AOT-compile the decode program for (2B, T_bucket) signatures
+        ahead of the data loop (mirrors TextGenEngine.prewarm; combined
+        with the persistent compilation cache, repeat invocations of
+        step 3 skip the cold compile entirely).  ``signatures``:
+        iterable of (batch_pairs, prompt_bucket)."""
+        import concurrent.futures
+
+        sigs = sorted({(int(b), int(t)) for b, t in signatures})
+
+        def compile_one(sig):
+            b, t = sig
+            toks = jnp.zeros((2 * b, t), jnp.int32)
+            mask = jnp.ones((2 * b, t), jnp.int32)
+            fn = (type(self)._generate_tokens_sjd if self.speculative
+                  else type(self)._generate_tokens)
+            fn.lower(
+                self, self.model.params, toks, mask, jax.random.PRNGKey(0),
+                jnp.float32(self.cfg_weight), jnp.float32(self.temperature),
+            ).compile()
+
+        if not sigs:
+            return 0
+        with concurrent.futures.ThreadPoolExecutor(
+                min(max_workers, len(sigs))) as ex:
+            list(ex.map(compile_one, sigs))
+        return len(sigs)
+
+    def signature_for(self, prompts: Sequence[str]) -> tuple:
+        """(batch_pairs_bucket, prompt_bucket) this prompt list will
+        compile as — feed to :meth:`prewarm`."""
+        from ospo_tpu.parallel import mesh as mesh_lib
+
+        b_real = len(prompts)
+        b = 1 << (b_real - 1).bit_length() if self.batch_bucketing else b_real
+        dp = mesh_lib.data_parallel_size(self.mesh)
+        b = ((b + dp - 1) // dp) * dp
+        tok = self.processor.tokenizer
+        t_max = _bucket(max(len(tok.encode(p)) for p in prompts))
+        return b, t_max
+
     def generate_tokens(self, prompts: Sequence[str], seed: int = 0) -> np.ndarray:
         from ospo_tpu.parallel import mesh as mesh_lib
 

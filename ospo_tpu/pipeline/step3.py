@@ -47,6 +47,18 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
     failed_batches = 0
     n_batches = 0
     meter = ThroughputMeter()
+    # AOT-compile the first batch's decode signature while the host is
+    # still globbing/mkdir-ing (with the persistent compile cache this is
+    # a no-op from the second invocation on)
+    if data:
+        first = [t2i_prompt(processor, p)
+                 for s in data[:batch_size]
+                 for p in (s.get("long_prompt") or [])[:1] if p]
+        if first:
+            try:
+                engine.prewarm([engine.signature_for(first)])
+            except Exception as e:  # prewarm is best-effort
+                print(f"# step3 prewarm skipped: {e}")
     # PNG encodes overlap the next batch's device decode
     png_pool = ThreadPoolExecutor(max_workers=2)
     pending = []
