@@ -46,6 +46,17 @@ class ScoringEngine:
         self.no_ids = [tok("no", add_special_tokens=False).input_ids[-1],
                        tok("No", add_special_tokens=False).input_ids[-1]]
 
+    def _yes_no(self, logits: jax.Array) -> jax.Array:
+        """[B, V] last-position logits → [B, 2] (p_yes, p_no) ON DEVICE:
+        p_yes = max softmax prob over {"yes","Yes"} last-token ids, p_no
+        likewise (vqa.py:121-124, 171-179) — the host fetch then moves 4
+        floats/row instead of the 102400-wide distribution."""
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        sel = probs[:, jnp.asarray(self.yes_ids + self.no_ids)]   # [B, 4]
+        n_yes = len(self.yes_ids)
+        return jnp.stack([jnp.max(sel[:, :n_yes], axis=-1),
+                          jnp.max(sel[:, n_yes:], axis=-1)], axis=-1)
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def _last_probs(self, params, input_ids, attn_mask, pixel_values,
                     seq_mask, emb_mask):
@@ -58,7 +69,7 @@ class ScoringEngine:
             params, cfg, embeds, attn_mask, positions
         )
         logits = janus_lib.lm_logits(params, hidden[:, -1:, :])[:, 0]
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return self._yes_no(logits)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _encode_images(self, params, pixel_values):
@@ -77,7 +88,7 @@ class ScoringEngine:
         never crosses a jit or loop boundary (as a program argument or a
         lax.map carry XLA inserted ~4 GB of layout copies of K/V at 7B,
         which OOMed the chip).
-        suffix_ids/mask: [Q, B, T_b] → [Q, B, V] last-position softmax."""
+        suffix_ids/mask: [Q, B, T_b] → [Q, B, 2] (p_yes, p_no)."""
         cfg = self.model.cfg
         b, p = input_ids.shape
         embeds = janus_lib.prepare_inputs_embeds(
@@ -109,7 +120,7 @@ class ScoringEngine:
                 cache_layout="shbd",
             )
             logits = janus_lib.lm_logits(params, hidden[:, -1:, :])[:, 0]
-            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return self._yes_no(logits)
 
         # static python unroll over questions: a lax.map loop boundary made
         # XLA copy (and remat-compress) the whole cache per iteration
@@ -235,11 +246,13 @@ class ScoringEngine:
         t2 = self.processor.num_image_tokens
         emb_mask = np.ones((n, 1, t2), bool)
 
-        # per-image suffix stacks, Q padded to an even bucket (bounds the
-        # distinct compile signatures across items' question counts) by
-        # repeating the image's last suffix; T to a 16-step bucket
+        # per-image suffix stacks, Q padded to the batch max (padded slots
+        # repeat the image's last suffix — an even bucket wasted 33% of
+        # the suffix work at the common 3-question count; distinct maxes
+        # span a handful of values, so signatures stay bounded);
+        # T to a 16-step bucket
         q_counts = [len(ids) for ids in ids_per_img]
-        q_b = max(2, ((max(q_counts) + 1) // 2) * 2)
+        q_b = max(q_counts)
         t_b = _bucket(max(len(a) - common for a in all_ids), step=16)
         sfx_ids = np.full((q_b, n, t_b), self.processor.pad_id, np.int32)
         sfx_mask = np.zeros((q_b, n, t_b), np.int32)
@@ -266,14 +279,14 @@ class ScoringEngine:
                 for i, x in enumerate(operands)
             ]
         img_embeds = self._encode_images(self.model.params, operands[2])
-        probs_qn = np.asarray(self._shared_prefix_probs(
+        yn_qn = np.asarray(self._shared_prefix_probs(
             self.model.params,
             operands[0], operands[1], img_embeds,
             operands[3], operands[4], operands[5], operands[6],
-        ))                                               # [Q_b, N, V]
+        ))                                               # [Q_b, N, 2]
         return [
             self._collect_scores(
-                np.ascontiguousarray(probs_qn[:q_counts[i], i]),
+                np.ascontiguousarray(yn_qn[:q_counts[i], i]),
                 1, q_counts[i])[0]
             for i in range(n_real)
         ]
@@ -296,18 +309,18 @@ class ScoringEngine:
         attn = np.pad(batch.attention_mask, ((0, 0), (pad, 0)))
         seq_mask = np.pad(batch.images_seq_mask, ((0, 0), (pad, 0)))
 
-        probs = np.asarray(self._last_probs(
+        yn = np.asarray(self._last_probs(
             self.model.params,
             jnp.asarray(input_ids), jnp.asarray(attn),
             jnp.asarray(batch.pixel_values),
             jnp.asarray(seq_mask), jnp.asarray(batch.images_emb_mask),
         ))
 
-        return self._collect_scores(probs, len(images), len(questions))
+        return self._collect_scores(yn, len(images), len(questions))
 
-    def _collect_scores(self, probs: np.ndarray, n_images: int,
+    def _collect_scores(self, yn: np.ndarray, n_images: int,
                         q_count: int) -> List[Dict]:
-        """[N·Q, V] last-position distributions (image-major row order) →
+        """[N·Q, 2] (p_yes, p_no) rows (image-major row order) →
         per-image local/global scores (vqa.py:161-225 semantics)."""
         results: List[Dict] = []
         for img_idx in range(n_images):
@@ -316,8 +329,8 @@ class ScoringEngine:
             answer_metadata: List[dict] = []
             for q_idx in range(q_count):
                 row = img_idx * q_count + q_idx
-                p_yes = max(float(probs[row, y]) for y in self.yes_ids)
-                p_no = max(float(probs[row, n]) for n in self.no_ids)
+                p_yes = float(yn[row, 0])
+                p_no = float(yn[row, 1])
                 answer_metadata.append({
                     "p_yes": p_yes,
                     "p_no": p_no,
