@@ -57,10 +57,13 @@ class TextGenEngine:
         self.mesh = mesh
 
     @classmethod
-    def from_generation_config(cls, model, processor, gen_cfg) -> "TextGenEngine":
+    def from_generation_config(cls, model, processor, gen_cfg,
+                               kv_quant=False) -> "TextGenEngine":
         """Build from a step-config ``generation_config`` block (same keys
         as the HF kwargs the reference passes through).  Inherits the
-        model's serving mesh when the factory sharded it."""
+        model's serving mesh when the factory sharded it; ``kv_quant``
+        comes from the step config (int8 cache halves the decode stream
+        and the HBM footprint at large text batches)."""
         gen_cfg = gen_cfg or {}
         return cls(
             model,
@@ -69,6 +72,8 @@ class TextGenEngine:
             temperature=gen_cfg.get("temperature", 1.0),
             top_p=gen_cfg.get("top_p"),
             do_sample=gen_cfg.get("do_sample", True),
+            kv_quant=("int8" if kv_quant and str(kv_quant).lower()
+                      in ("int8", "true") else False),
             mesh=getattr(model, "mesh", None),
         )
 

@@ -52,7 +52,8 @@ def generate_elements(config, model, processor) -> List[str]:
     category = config.category
     max_len = config.max_len or DEFAULT_MAX_LEN.get(category, 70)
     engine = TextGenEngine.from_generation_config(
-        model, processor, config.generation_config
+        model, processor, config.generation_config,
+        kv_quant=config.get("kv_quant"),
     )
     system, conversation = get_element_conversation(category)
     prompt = chat.apply_sft_template(conversation, system_prompt=system)

@@ -158,7 +158,8 @@ def main(config) -> None:
     assert len(config.seed_list) == 3, "Please set 3 seeds for 3 perturbation types."
     model, tokenizer, processor = get_model(config)
     engine = TextGenEngine.from_generation_config(
-        model, processor, config.generation_config
+        model, processor, config.generation_config,
+        kv_quant=config.get("kv_quant"),
     )
 
     # 1. negative prompt generation

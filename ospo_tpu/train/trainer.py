@@ -121,13 +121,16 @@ class SimPOTrainer:
                 # the backward pass.  embed/norms stay bf16 (ops/quant.py).
                 from ospo_tpu.ops import quant
 
-                # donated: the bf16 projections are freed as their int8
-                # replacements materialise (no 13.3+6.7GB double residency)
-                model.params = jax.jit(
-                    lambda p: {**p, "language_model":
-                               quant.quantize_llama_params(p["language_model"])},
-                    donate_argnums=(0,),
-                )(model.params)
+                # incremental per-matrix quantize + explicit deletes: a
+                # whole-tree donated jit would be fine on a well-behaved
+                # backend, but the tunneled chip IGNORES donation, so
+                # bf16+int8 would co-reside (~20 GB at 7B) and OOM — same
+                # fix as the model factory's post-load quantize
+                model.params = {
+                    **model.params,
+                    "language_model": quant.quantize_llama_params_incremental(
+                        model.params["language_model"]),
+                }
             self.trainable = lora_lib.init_lora(
                 model.cfg.language, self.lora_cfg, jax.random.PRNGKey(self.seed)
             )

@@ -44,8 +44,8 @@ FIXTURES = os.path.join(REPO, "tests", "fixtures", "examples")
 # comparison column in ROUND_r03.json
 BUDGET = {
     "step2_tok_s": 2271.1,
-    "step3_imgtok_s": 993.7,
-    "step4b_pairs_h": 2748.5,
+    "step3_imgtok_s": 923.0,   # serving default B=20 (round 3)
+    "step4b_pairs_h": 3215.4,  # cross-item batched (round 3)
     "step5_samples_s": 2.04,
 }
 
@@ -107,6 +107,15 @@ def main() -> None:
         json.dump(base_prompt, f)
     with open(os.path.join(FIXTURES, "step2", "long_prompt.json")) as f:
         long_prompt = cycle_items(json.load(f), n)
+    # the random-init presets fall back to the BYTE tokenizer, which
+    # inflates these dense prompts ~4x vs the production BPE vocab (a
+    # ~100-token prompt becomes 400+ byte tokens and shifts every KV
+    # budget).  Truncate to ~96 chars so the BYTE-token count matches the
+    # BPE-token count a real checkpoint would see — the timing then
+    # reflects production sequence shapes.
+    for rec in long_prompt:
+        for key in ("long_prompt", "negative_long_prompt"):
+            rec[key] = [p[:96] if p else p for p in rec.get(key, [])]
     with open(os.path.join(out, "long_prompt.json"), "w") as f:
         json.dump(long_prompt, f)
     with open(os.path.join(FIXTURES, "step4", "vqa_prompt.json")) as f:
@@ -118,7 +127,10 @@ def main() -> None:
         report["stages"]["step1"] = run_stage(
             "step1", "ospo_tpu.pipeline.step1", {
                 **base_model, "seed": 42, "category": "object",
-                "max_len": 8, "batch_size": 64,
+                # B=16: few-shot prompts are ~4x longer in BYTE tokens
+                # than production BPE (B=64 is the BPE-length optimum)
+                "max_len": 8, "batch_size": 16, "quantize": "int8",
+                "kv_quant": "int8",
                 "save_path": os.path.join(out, "step1"),
                 "generation_config": {"do_sample": True, "temperature": 1.3,
                                       "max_new_tokens": 256},
@@ -127,7 +139,8 @@ def main() -> None:
     # ---- step 2: negatives + densification over n items ----
     if "2" in stages:
         r = run_stage("step2", "ospo_tpu.pipeline.step2", {
-            **base_model, "seed_list": [0, 1, 2], "batch_size": 64,
+            **base_model, "seed_list": [0, 1, 2], "batch_size": 16,
+            "quantize": "int8", "kv_quant": "int8",
             "data_path": os.path.join(out, "base_prompt.json"),
             "save_path": os.path.join(out, "step2"),
             "generation_config": {"do_sample": True, "num_beams": 1,
@@ -141,7 +154,7 @@ def main() -> None:
     # ---- step 3: CFG image generation over n items (6 images each) ----
     if "3" in stages:
         r = run_stage("step3", "ospo_tpu.pipeline.step3", {
-            **base_model, "seed_list": [0, 1, 2], "batch_size": 24,
+            **base_model, "seed_list": [0, 1, 2], "batch_size": 20,
             "data_path": os.path.join(out, "long_prompt.json"),
             "save_path": os.path.join(out, "step3"),
             "generation_config": {"parallel_size": 1, "temperature": 1.0,
@@ -149,9 +162,9 @@ def main() -> None:
             "quantize": "int8", "kv_quant": "int8", "kv_layout": "shbd",
             "decode_segments": 8, "drop_lm_head": True,
         }, out)
-        pngs = sum(len(files) for _, _, files in
-                   os.walk(os.path.join(out, "step3"))
-                   if any(f.endswith(".png") for f in files))
+        pngs = sum(
+            sum(1 for f in files if f.endswith(".png"))
+            for _, _, files in os.walk(os.path.join(out, "step3")))
         ntok = None
         try:
             from ospo_tpu.models import janus as janus_lib  # local count
@@ -166,7 +179,8 @@ def main() -> None:
     # ---- step 4a: question generation (empty image dir → 4b no-op) ----
     if "4" in stages:
         r = run_stage("step4a", "ospo_tpu.pipeline.step4", {
-            **base_model, "seed": 42, "batch_size": 64,
+            **base_model, "seed": 42, "batch_size": 16,
+            "kv_quant": "int8",
             "data_path": os.path.join(out, "long_prompt.json"),
             "image_path": os.path.join(out, "empty"),
             "save_path": os.path.join(out, "step4a"),
@@ -189,7 +203,8 @@ def main() -> None:
         with open(os.path.join(out, "step4", "vqa_prompt.json"), "w") as f:
             json.dump(vqa, f)
         r = run_stage("step4b", "ospo_tpu.pipeline.step4", {
-            **base_model, "seed": 42, "batch_size": 64,
+            **base_model, "seed": 42, "batch_size": 16,
+            "score_rows": 12, "score_kv_quant": True,
             "image_path": os.path.join(out, "step3"),
             "save_path": os.path.join(out, "step4"),
             "quantize": "int8",
