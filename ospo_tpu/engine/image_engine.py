@@ -52,6 +52,7 @@ class ImageGenEngine:
         speculative: int = 0,
         kv_layout: str = None,
         mesh=None,
+        batch_cap: int = None,
     ):
         self.model = model
         self.processor = processor
@@ -112,6 +113,12 @@ class ImageGenEngine:
         # through the cached decode scan — the reference's equivalent is
         # Lightning DDP over ranks (ospo/utils/generate.py:5-15)
         self.mesh = mesh
+        # cap the power-of-two batch bucket at the pipeline's configured
+        # batch size: serving points are HBM-tuned (B=20 on 16 GB), and
+        # rounding a full batch up to the next power of two (20 → 32
+        # pairs = 64 CFG rows) re-OOMs the budget the cap was chosen for.
+        # Ragged tails still bucket to powers of two BELOW the cap.
+        self.batch_cap = batch_cap
         self._decode_fn = jax.jit(self._decode_tokens)
 
     # ------------------------------------------------------------------
@@ -509,6 +516,8 @@ class ImageGenEngine:
 
         b_real = len(prompts)
         b = 1 << (b_real - 1).bit_length() if self.batch_bucketing else b_real
+        if self.batch_cap:
+            b = min(b, max(self.batch_cap, b_real))
         dp = mesh_lib.data_parallel_size(self.mesh)
         b = ((b + dp - 1) // dp) * dp
         tok = self.processor.tokenizer
@@ -521,6 +530,8 @@ class ImageGenEngine:
         b_real = len(prompts)
         # batch bucket (powers of two) so ragged final batches don't retrace
         b_bucket = 1 << (b_real - 1).bit_length() if self.batch_bucketing else b_real
+        if self.batch_cap:
+            b_bucket = min(b_bucket, max(self.batch_cap, b_real))
         # under a mesh the CFG-pair count must divide evenly across the
         # data axis (keeps the cond/uncond halves shard-aligned)
         dp = mesh_lib.data_parallel_size(self.mesh)

@@ -44,6 +44,7 @@ class TextGenEngine:
         do_sample: bool = True,
         kv_quant: bool = False,
         mesh=None,
+        batch_cap: int = None,
     ):
         self.model = model
         self.processor = processor
@@ -55,10 +56,14 @@ class TextGenEngine:
         # multi-device serving mesh (params sharded by the caller via
         # parallel.mesh.shard_janus_params); batches shard on 'data'
         self.mesh = mesh
+        # cap the power-of-two batch bucket at the configured batch size
+        # (HBM-tuned; rounding a full batch up re-OOMs the budget)
+        self.batch_cap = batch_cap
 
     @classmethod
     def from_generation_config(cls, model, processor, gen_cfg,
-                               kv_quant=False) -> "TextGenEngine":
+                               kv_quant=False,
+                               batch_cap=None) -> "TextGenEngine":
         """Build from a step-config ``generation_config`` block (same keys
         as the HF kwargs the reference passes through).  Inherits the
         model's serving mesh when the factory sharded it; ``kv_quant``
@@ -75,6 +80,7 @@ class TextGenEngine:
             kv_quant=("int8" if kv_quant and str(kv_quant).lower()
                       in ("int8", "true") else False),
             mesh=getattr(model, "mesh", None),
+            batch_cap=batch_cap,
         )
 
     # ------------------------------------------------------------------
@@ -143,6 +149,8 @@ class TextGenEngine:
         ``generate_ids`` will use for this batch — feed to :meth:`prewarm`."""
         input_ids, _ = self.processor.encode_batch_left_padded(list(prompts))
         b_bucket = 1 << (len(prompts) - 1).bit_length()
+        if self.batch_cap:
+            b_bucket = min(b_bucket, max(self.batch_cap, len(prompts)))
         return b_bucket, _bucket(input_ids.shape[1])
 
     def prewarm(self, signatures, max_workers: int = 4) -> int:
@@ -194,6 +202,8 @@ class TextGenEngine:
 
         dp = mesh_lib.data_parallel_size(self.mesh)
         b_bucket = 1 << (b_real - 1).bit_length()
+        if self.batch_cap:
+            b_bucket = min(b_bucket, max(self.batch_cap, b_real))
         b_bucket = ((b_bucket + dp - 1) // dp) * dp
         if b_bucket != b_real:
             reps = b_bucket - b_real

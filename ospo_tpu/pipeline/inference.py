@@ -81,6 +81,7 @@ def main(config) -> None:
         decode_kernel=bool(config.get("decode_kernel")),
         kv_layout=config.get("kv_layout"),  # shbd = large-batch serving
         mesh=getattr(model, "mesh", None),
+        batch_cap=int(config.batch_size or 0) or None,
     )
     prompts = shard_for_process(read_json(config.data_path))
     generate_all(config, engine, prompts)

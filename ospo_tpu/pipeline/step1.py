@@ -54,6 +54,7 @@ def generate_elements(config, model, processor) -> List[str]:
     engine = TextGenEngine.from_generation_config(
         model, processor, config.generation_config,
         kv_quant=config.get("kv_quant"),
+        batch_cap=int(config.batch_size or 0) or None,
     )
     system, conversation = get_element_conversation(category)
     prompt = chat.apply_sft_template(conversation, system_prompt=system)

@@ -160,6 +160,7 @@ def main(config) -> None:
     engine = TextGenEngine.from_generation_config(
         model, processor, config.generation_config,
         kv_quant=config.get("kv_quant"),
+        batch_cap=int(config.batch_size or 0) or None,
     )
 
     # 1. negative prompt generation

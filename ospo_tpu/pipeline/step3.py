@@ -151,6 +151,7 @@ def main(config) -> None:
         decode_kernel=bool(config.get("decode_kernel")),
         kv_layout=config.get("kv_layout"),  # shbd = large-batch serving
         mesh=getattr(model, "mesh", None),
+        batch_cap=int(config.batch_size or 0) or None,
     )
 
     data_path = config.data_path or os.path.join(

@@ -139,7 +139,8 @@ def main() -> None:
     # ---- step 2: negatives + densification over n items ----
     if "2" in stages:
         r = run_stage("step2", "ospo_tpu.pipeline.step2", {
-            **base_model, "seed_list": [0, 1, 2], "batch_size": 16,
+            # byte few-shots are ~2400 tokens: K+V at B=8 is ~5GB
+            **base_model, "seed_list": [0, 1, 2], "batch_size": 8,
             "quantize": "int8", "kv_quant": "int8",
             "data_path": os.path.join(out, "base_prompt.json"),
             "save_path": os.path.join(out, "step2"),
@@ -179,7 +180,7 @@ def main() -> None:
     # ---- step 4a: question generation (empty image dir → 4b no-op) ----
     if "4" in stages:
         r = run_stage("step4a", "ospo_tpu.pipeline.step4", {
-            **base_model, "seed": 42, "batch_size": 16,
+            **base_model, "seed": 42, "batch_size": 8,
             "kv_quant": "int8",
             "data_path": os.path.join(out, "long_prompt.json"),
             "image_path": os.path.join(out, "empty"),
