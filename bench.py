@@ -88,7 +88,8 @@ def build_bench_model(preset: str):
     else:
         cfg = janus_lib.tiny_janus_config()
 
-    quant_mode = os.environ.get("OSPO_BENCH_QUANT") == "int8"
+    quant_mode = os.environ.get("OSPO_BENCH_QUANT")
+    quant_mode = quant_mode if quant_mode in ("int8", "int4") else None
 
     def init(key):
         k_lm, k_gal, k_gh, k_ge = jax.random.split(key, 4)
@@ -99,10 +100,10 @@ def build_bench_model(preset: str):
             lm["lm_head"] = jnp.zeros((1, 1), cfg.language.dtype)
         if quant_mode:
             # fused init+quantize: the bf16 stacks never co-reside with the
-            # int8 output (XLA frees each as it is consumed)
+            # quantized output (XLA frees each as it is consumed)
             from ospo_tpu.ops import quant
 
-            lm = quant.quantize_llama_params(lm)
+            lm = quant.quantize_llama_params(lm, mode=quant_mode)
         return {
             "language_model": lm,
             "gen_aligner": projector.init_mlp_projector(
@@ -121,7 +122,7 @@ def build_bench_model(preset: str):
 
     params = jax.jit(init)(jax.random.PRNGKey(0))
     if quant_mode:
-        print("# int8 weight quantization enabled", file=sys.stderr)
+        print(f"# {quant_mode} weight quantization enabled", file=sys.stderr)
     return janus_lib.JanusModel(cfg, params)
 
 

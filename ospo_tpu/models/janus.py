@@ -198,19 +198,21 @@ class JanusModel:
 
     @classmethod
     def init(cls, cfg: JanusConfig, seed: int = 0,
-             quantize: bool = False) -> "JanusModel":
+             quantize=False) -> "JanusModel":
         # one fused jit: ~250 small init ops as a single device program
         # (dispatching them individually is pathological on remote backends).
-        # ``quantize`` fuses W8A16 trunk quantization into the same program
-        # so the bf16 stacks never co-reside with their int8 replacements
-        # (13.3+6.7GB would OOM a 16GB chip).
+        # ``quantize`` (True/"int8", or "int4") fuses trunk quantization
+        # into the same program so the bf16 stacks never co-reside with
+        # their quantized replacements (13.3+6.7GB would OOM a 16GB chip).
         def build(key):
             p = init_params(cfg, key)
             if quantize:
                 from ospo_tpu.ops import quant
 
+                mode = quantize if quantize in ("int8", "int4") else "int8"
                 p = {**p, "language_model":
-                     quant.quantize_llama_params(p["language_model"])}
+                     quant.quantize_llama_params(p["language_model"],
+                                                 mode=mode)}
             return p
 
         return cls(cfg, jax.jit(build)(jax.random.PRNGKey(seed)))

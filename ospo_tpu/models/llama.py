@@ -173,7 +173,14 @@ def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]]
     checkpoint porting transpose-free.  ``lora`` holds per-projection
     stacked A [d_in, r] / B [r, d_out] for the current layer.
     """
-    if isinstance(w, dict):  # weight-only int8 ({"q", "s"}, ops/quant.py)
+    if isinstance(w, dict) and "q4" in w:
+        # weight-only int4 ({"q4", "s"}): two output rows per byte; one
+        # einsum per nibble plane, rejoined on the feature axis
+        # (ops/quant.quantize_matrix_int4)
+        from ospo_tpu.ops import quant as _quant
+
+        y = _quant.quantized_matmul_int4(x, w)
+    elif isinstance(w, dict):  # weight-only int8 ({"q", "s"}, ops/quant.py)
         y = jnp.einsum("btd,fd->btf", x, w["q"].astype(x.dtype))
         y = y * w["s"].astype(x.dtype)
     else:

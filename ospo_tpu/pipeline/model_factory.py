@@ -110,17 +110,19 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
 
     # optional weight-only int8 (decode-path HBM relief; generation steps
     # only — training consumes full-precision weights)
-    if (config.get("quantize") or "").lower() == "int8":
+    qmode = (config.get("quantize") or "").lower()
+    if qmode in ("int8", "int4"):
         from ospo_tpu.ops import quant
 
-        print("# Quantizing language-model weights to int8 (W8A16).")
+        print(f"# Quantizing language-model weights to {qmode} "
+              f"(W{'8' if qmode == 'int8' else '4'}A16).")
         # incremental (one stacked matrix at a time): a whole-tree
-        # quantize jit double-resides bf16+int8 (~23 GB at 7B) when the
-        # backend ignores donation, and every later allocation fails
+        # quantize jit double-resides bf16+quantized (~23 GB at 7B) when
+        # the backend ignores donation, and every later allocation fails
         model.params = {
             **model.params,
             "language_model": quant.quantize_llama_params_incremental(
-                model.params["language_model"]),
+                model.params["language_model"], mode=qmode),
         }
 
     # image-generation steps never call lm_logits — dropping the 0.84 GB

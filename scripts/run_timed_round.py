@@ -139,8 +139,8 @@ def main() -> None:
     # ---- step 2: negatives + densification over n items ----
     if "2" in stages:
         r = run_stage("step2", "ospo_tpu.pipeline.step2", {
-            # byte few-shots are ~2400 tokens: K+V at B=8 is ~5GB
-            **base_model, "seed_list": [0, 1, 2], "batch_size": 8,
+            # byte few-shots are 2300-3400 tokens: K+V at B=4 is ~3GB
+            **base_model, "seed_list": [0, 1, 2], "batch_size": 4,
             "quantize": "int8", "kv_quant": "int8",
             "data_path": os.path.join(out, "base_prompt.json"),
             "save_path": os.path.join(out, "step2"),
@@ -180,7 +180,7 @@ def main() -> None:
     # ---- step 4a: question generation (empty image dir → 4b no-op) ----
     if "4" in stages:
         r = run_stage("step4a", "ospo_tpu.pipeline.step4", {
-            **base_model, "seed": 42, "batch_size": 8,
+            **base_model, "seed": 42, "batch_size": 4,
             "kv_quant": "int8",
             "data_path": os.path.join(out, "long_prompt.json"),
             "image_path": os.path.join(out, "empty"),
@@ -234,7 +234,8 @@ def main() -> None:
                 train.append({
                     "item_id": rec["item_id"], "category": rec["category"],
                     "sub_category": rec["sub_category"],
-                    "question": [], "prompt": rec["prompt"],
+                    # byte-tokenizer compensation (see long_prompt above)
+                    "question": [], "prompt": rec["prompt"][:96],
                     "chosen": b, "rejected": ng, "metadata": {},
                 })
         with open(os.path.join(out, "train.json"), "w") as f:

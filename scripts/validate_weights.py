@@ -203,13 +203,19 @@ def phase_divergence(model, processor, n_tokens: int, batch: int,
         lm = model.params["language_model"]
         if any(x.dtype == jnp.int8 for x in jax.tree.leaves(lm)):
             raise ValueError("--weight-divergence needs --quantize none "
-                             "(the loaded trunk is already int8)")
-        qparams = {**model.params,
-                   "language_model": quant.quantize_llama_params_incremental(lm)}
-        qmodel = janus_lib.JanusModel(cfg, qparams)
-        qeng = ImageGenEngine(qmodel, processor, kv_quant=False, **kw)
-        report["w_int8_vs_bf16"] = _divergence_metrics(
-            ref_logits, qeng.forced_cfg_logits(prompts, forced))
+                             "(the loaded trunk is already quantized)")
+        for wmode in ("int8", "int4"):
+            qparams = {**model.params,
+                       "language_model": quant.quantize_llama_params(
+                           lm, mode=wmode)}
+            qmodel = janus_lib.JanusModel(cfg, qparams)
+            qeng = ImageGenEngine(qmodel, processor, kv_quant=False, **kw)
+            key = f"w_{wmode}_vs_bf16"
+            report[key] = _divergence_metrics(
+                ref_logits, qeng.forced_cfg_logits(prompts, forced))
+            print(f"# weight divergence {wmode}: "
+                  f"{report[key]['kl_mean']:.5f} mean KL, "
+                  f"{report[key]['top1_agree']:.3f} top-1", flush=True)
 
     report["n_tokens"] = int(forced.shape[1])
     report["batch"] = batch

@@ -72,3 +72,57 @@ def test_incremental_quantize_matches_whole_tree():
         np.testing.assert_allclose(
             np.asarray(ref["layers"][name]["s"]),
             np.asarray(inc["layers"][name]["s"]), rtol=1e-6, err_msg=name)
+
+
+def test_int4_weight_pack_roundtrip():
+    """Packed int4 → unpack must recover the exact 15-level code, and the
+    dequantized matrix must be the per-row-scaled code."""
+    from ospo_tpu.ops import quant
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (6, 8, 16), jnp.float32)
+    qw = quant.quantize_matrix_int4(w)
+    assert qw["q4"].shape == (6, 4, 16) and qw["q4"].dtype == jnp.int8
+    low, high = quant.unpack_int4_halves(qw["q4"])
+    assert int(jnp.max(low)) <= 7 and int(jnp.min(low)) >= -7
+    assert int(jnp.max(high)) <= 7 and int(jnp.min(high)) >= -7
+    deq = quant.dequantize_matrix_int4(qw, dtype=jnp.float32)
+    # error bounded by half a quantization step per element
+    step = qw["s"][..., None]
+    assert float(jnp.max(jnp.abs(deq - w) / step)) <= 0.5 + 1e-3
+
+
+def test_int4_weight_matmul_matches_dequantized():
+    from ospo_tpu.ops import quant
+
+    w = jax.random.normal(jax.random.PRNGKey(1), (12, 16), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 16), jnp.float32)
+    qw = quant.quantize_matrix_int4(w)
+    ref = jnp.einsum("btd,fd->btf", x,
+                     quant.dequantize_matrix_int4(qw, jnp.float32))
+    out = quant.quantized_matmul_int4(x, qw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_int4_weight_forward_close_to_bf16():
+    """A tiny Llama forward with int4 weights must stay close to the
+    bf16 forward (W4A16 is a serving trade, not a different model)."""
+    from ospo_tpu.models import llama
+    from ospo_tpu.ops import quant
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.arange(24).reshape(2, 12) % cfg.vocab_size
+    mask = jnp.ones((2, 12), jnp.int32)
+    pos = llama.positions_from_mask(mask)
+
+    x = llama.embed_tokens(params, ids)
+    ref, _ = llama.forward(params, cfg, x, mask, pos)
+
+    q4 = quant.quantize_llama_params(params, mode="int4")
+    out, _ = llama.forward(q4, cfg, x, mask, pos)
+    # hidden-state correlation stays high; int4 noise is bounded
+    a = np.asarray(ref, np.float32).ravel()
+    b = np.asarray(out, np.float32).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.98, corr

@@ -65,5 +65,6 @@ def test_weight_divergence_mode(tmp_path):
         "--quantize", "none",
         "--weight-divergence",
     ])
-    w = report["divergence"]["w_int8_vs_bf16"]
-    assert w["kl_mean"] >= 0.0 and 0.0 <= w["top1_agree"] <= 1.0
+    for key in ("w_int8_vs_bf16", "w_int4_vs_bf16"):
+        w = report["divergence"][key]
+        assert w["kl_mean"] >= 0.0 and 0.0 <= w["top1_agree"] <= 1.0
