@@ -163,28 +163,41 @@ def main(config) -> None:
         batch_cap=int(config.batch_size or 0) or None,
     )
 
-    # 1. negative prompt generation
+    # 1. negative prompt generation — skip-if-exists resume: a completed
+    # negative_prompt.json short-circuits 2a so a crashed/restarted run
+    # resumes at densification (same ethos as the reference's step-4
+    # question-gen skip, ospo/step4.py:59)
     data_path = config.data_path or os.path.join(
         os.path.dirname(config.save_path), "step1", "base_prompt.json"
     )
-    data = shard_for_process(
-        load_base_dataset(data_path, config.get("s_idx"), config.get("e_idx"))
-    )
-    # pre-warm the decode programs for the first batch's signatures so the
-    # 3 per-perturbation compiles overlap instead of serializing the first
-    # pass (prompt construction is deterministic — build_negative_prompts)
     bsz = int(config.batch_size or 8)
-    sigs = []
-    for i in range(3):
-        prompts, _ = build_negative_prompts(data[:bsz], i, config.seed_list[i])
-        live = [p for p in prompts if p is not None]
-        if live:
-            sigs.append(engine.signature_for(live))
-    n = engine.prewarm(sigs)
-    print(f"[step2a] pre-warmed {n} decode program(s)")
-    negatives = run_negative(config, engine, data)
-    save_json_sharded(config.save_path, "negative_prompt", negatives)
-    print("(Step 2) Negative prompt generation completed.")
+    neg_path = os.path.join(config.save_path, "negative_prompt.json")
+    if os.path.exists(neg_path):
+        negatives = shard_for_process(
+            load_base_dataset(neg_path, config.get("s_idx"), config.get("e_idx"))
+        )
+        print(f"(Step 2) Resuming from existing {neg_path} "
+              f"({len(negatives)} samples this host); skipping 2a.")
+    else:
+        data = shard_for_process(
+            load_base_dataset(data_path, config.get("s_idx"), config.get("e_idx"))
+        )
+        # pre-warm the decode programs for the first batch's signatures so
+        # the 3 per-perturbation compiles overlap instead of serializing the
+        # first pass (prompt construction is deterministic —
+        # build_negative_prompts)
+        sigs = []
+        for i in range(3):
+            prompts, _ = build_negative_prompts(data[:bsz], i,
+                                                config.seed_list[i])
+            live = [p for p in prompts if p is not None]
+            if live:
+                sigs.append(engine.signature_for(live))
+        n = engine.prewarm(sigs)
+        print(f"[step2a] pre-warmed {n} decode program(s)")
+        negatives = run_negative(config, engine, data)
+        save_json_sharded(config.save_path, "negative_prompt", negatives)
+        print("(Step 2) Negative prompt generation completed.")
 
     # 2. densification — consumes this host's negative shard directly
     # (multi-host safe: no cross-host file dependency before the merge)

@@ -139,8 +139,9 @@ def main() -> None:
     # ---- step 2: negatives + densification over n items ----
     if "2" in stages:
         r = run_stage("step2", "ospo_tpu.pipeline.step2", {
-            # byte few-shots are 2300-3400 tokens: K+V at B=4 is ~3GB
-            **base_model, "seed_list": [0, 1, 2], "batch_size": 4,
+            # byte few-shots are 2300-3400 tokens (4x production BPE);
+            # B=2 keeps the worst dense-prompt bucket inside 16GB
+            **base_model, "seed_list": [0, 1, 2], "batch_size": 2,
             "quantize": "int8", "kv_quant": "int8",
             "data_path": os.path.join(out, "base_prompt.json"),
             "save_path": os.path.join(out, "step2"),
