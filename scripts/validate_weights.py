@@ -157,9 +157,34 @@ def _divergence_metrics(ref, test) -> dict:
     }
 
 
+def _weight_fingerprint(model) -> list:
+    """Cheap cross-process identity check for the loaded weights (the
+    two-process weight gate relies on both processes seeing the SAME
+    synthetic/ported checkpoint)."""
+    import jax
+    import numpy as np
+
+    leaves = jax.tree.leaves(model.params["language_model"])
+    probe = leaves[0]
+    flat = np.asarray(probe[(0,) * (probe.ndim - 1)][:8], dtype=np.float32)
+    return [round(float(x), 5) for x in flat]
+
+
 def phase_divergence(model, processor, n_tokens: int, batch: int,
-                     weight_divergence: bool, model_path: str) -> dict:
-    """Teacher-forced serving-quantization divergence (the int4 gate)."""
+                     weight_divergence: bool, model_path: str,
+                     export_reference: str = None,
+                     compare_reference: str = None,
+                     quantize_label: str = "int8") -> dict:
+    """Teacher-forced serving-quantization divergence (the int4 gate).
+
+    Two-process mode for chips that cannot co-resident two 7B trunks
+    (axon ignores donation): ``--export-reference DIR`` saves the forced
+    token sequence + reference logits from THIS process's weights (load
+    with ``--quantize none`` for a bf16 reference); a second process
+    loaded with the serving quantization then runs
+    ``--compare-reference DIR`` to score itself against the saved
+    reference without ever holding both trunks.
+    """
     import numpy as np
     from ospo_tpu.engine.image_engine import ImageGenEngine
     from ospo_tpu.processing import t2i_prompt
@@ -175,11 +200,47 @@ def phase_divergence(model, processor, n_tokens: int, batch: int,
               batch_bucketing=False, kv_layout="shbd", decode_segments=8)
 
     report = {}
+    if compare_reference:
+        with open(os.path.join(compare_reference, "meta.json")) as f:
+            meta = json.load(f)
+        assert meta["batch"] == batch and meta["n_tokens"] >= 1, meta
+        forced = np.load(os.path.join(compare_reference, "forced.npy"))
+        ref_logits = np.load(os.path.join(compare_reference,
+                                          "ref_logits.npy"))
+        eng = ImageGenEngine(model, processor, kv_quant=False, **kw)
+        key = f"w_{quantize_label}_vs_{meta['quantize']}"
+        report[key] = _divergence_metrics(
+            ref_logits, eng.forced_cfg_logits(prompts, forced))
+        print(f"# weight divergence {key}: "
+              f"{report[key]['kl_mean']:.5f} mean KL, "
+              f"{report[key]['top1_agree']:.3f} top-1", flush=True)
+        report["n_tokens"] = int(forced.shape[1])
+        report["batch"] = batch
+        report["reference_meta"] = meta
+        return report
+
     # the reference sequence + logits come from the serving-weight (int8
     # when quantized upstream, else bf16) engine with a bf16 KV cache
     ref_engine = ImageGenEngine(model, processor, kv_quant=False, **kw)
     forced = ref_engine.generate_tokens(prompts, seed=0)
     ref_logits = ref_engine.forced_cfg_logits(prompts, forced)
+
+    if export_reference:
+        os.makedirs(export_reference, exist_ok=True)
+        np.save(os.path.join(export_reference, "forced.npy"),
+                np.asarray(forced))
+        np.save(os.path.join(export_reference, "ref_logits.npy"),
+                np.asarray(ref_logits, dtype=np.float32))
+        with open(os.path.join(export_reference, "meta.json"), "w") as f:
+            json.dump({"batch": batch, "n_tokens": int(forced.shape[1]),
+                       "quantize": quantize_label,
+                       "weight_fingerprint": _weight_fingerprint(model)},
+                      f)
+        print(f"# reference exported → {export_reference}", flush=True)
+        report["exported"] = export_reference
+        report["n_tokens"] = int(forced.shape[1])
+        report["batch"] = batch
+        return report
 
     for kv in ("int8", "int4"):
         eng = ImageGenEngine(model, processor, kv_quant=kv, **kw)
@@ -277,6 +338,18 @@ def main(argv=None) -> dict:
                         help="also measure bf16-vs-int8 WEIGHT divergence "
                              "(double trunk residency — needs >16GB or a "
                              "small model)")
+    parser.add_argument("--export-reference", default=None,
+                        help="divergence phase: save forced tokens + "
+                             "reference logits to DIR and stop (two-"
+                             "process weight gate, pass --quantize none)")
+    parser.add_argument("--compare-reference", default=None,
+                        help="divergence phase: score this process's "
+                             "(quantized) weights against a reference "
+                             "exported by --export-reference")
+    parser.add_argument("--drop-lm-head", action="store_true",
+                        help="drop the 102k-vocab text head (~840MB at "
+                             "7B) — valid for divergence-only runs, which "
+                             "exercise only the image head")
     args = parser.parse_args(argv)
 
     from ospo_tpu.config import Config
@@ -290,6 +363,7 @@ def main(argv=None) -> dict:
         "model_path": args.model_path,
         "model_preset": args.model_preset,
         "quantize": args.quantize if args.quantize != "none" else None,
+        "drop_lm_head": bool(args.drop_lm_head),
     })
     model, tokenizer, processor = get_model(config)
 
@@ -304,7 +378,10 @@ def main(argv=None) -> dict:
     if "divergence" in phases:
         report["divergence"] = phase_divergence(
             model, processor, args.tokens, args.batch,
-            args.weight_divergence, args.model_path)
+            args.weight_divergence, args.model_path,
+            export_reference=args.export_reference,
+            compare_reference=args.compare_reference,
+            quantize_label=args.quantize)
     if "samples" in phases:
         report["samples"] = phase_samples(model, processor, args.out)
         print(f"# samples: ok={report['samples']['ok']}", flush=True)

@@ -68,3 +68,38 @@ def test_weight_divergence_mode(tmp_path):
     for key in ("w_int8_vs_bf16", "w_int4_vs_bf16"):
         w = report["divergence"][key]
         assert w["kl_mean"] >= 0.0 and 0.0 <= w["top1_agree"] <= 1.0
+
+
+def test_two_process_weight_gate(tmp_path):
+    """--export-reference / --compare-reference: the weight gate split
+    across two model loads (how it runs on a 16GB chip where bf16 and
+    quantized 7B trunks cannot co-reside).  Comparing an identically
+    loaded bf16 model against the exported reference must be exact —
+    this also proves checkpoint loads are bit-reproducible."""
+    import validate_weights
+
+    cfg = janus_lib.tiny_janus_config()
+    ckpt = synthetic.write_synthetic_checkpoint(str(tmp_path / "ckpt"), cfg)
+    ref = str(tmp_path / "ref")
+    common = ["--model_path", ckpt, "--phases", "divergence",
+              "--tokens", "16", "--batch", "2"]
+    rep = validate_weights.main(
+        common + ["--out", str(tmp_path / "v0"), "--quantize", "none",
+                  "--export-reference", ref])
+    assert rep["divergence"]["exported"] == ref
+    assert os.path.exists(os.path.join(ref, "forced.npy"))
+
+    # self-comparison (same bf16 weights, fresh load) → zero divergence
+    rep = validate_weights.main(
+        common + ["--out", str(tmp_path / "v1"), "--quantize", "none",
+                  "--compare-reference", ref])
+    w = rep["divergence"]["w_none_vs_none"]
+    assert w["kl_mean"] < 1e-4 and w["top1_agree"] == 1.0
+
+    # quantized comparison → finite, nonzero divergence reported
+    rep = validate_weights.main(
+        common + ["--out", str(tmp_path / "v2"), "--quantize", "int4",
+                  "--compare-reference", ref])
+    w = rep["divergence"]["w_int4_vs_none"]
+    assert w["kl_mean"] >= 0.0 and 0.0 <= w["top1_agree"] <= 1.0
+    assert len(w["by_quarter"]) == 4
