@@ -492,13 +492,22 @@ class ImageGenEngine:
         sigs = sorted({(int(b), int(t)) for b, t in signatures})
 
         def compile_one(sig):
+            from ospo_tpu.parallel import mesh as mesh_lib
+
             b, t = sig
             toks = jnp.zeros((2 * b, t), jnp.int32)
             mask = jnp.ones((2 * b, t), jnp.int32)
+            rng = jax.random.PRNGKey(0)
+            if self.mesh is not None:
+                # match generate_tokens' input shardings (an unsharded
+                # lowering is a different executable — wasted compile)
+                toks = mesh_lib.shard_on_axis(toks, self.mesh)
+                mask = mesh_lib.shard_on_axis(mask, self.mesh)
+                rng = mesh_lib.replicate(rng, self.mesh)
             fn = (type(self)._generate_tokens_sjd if self.speculative
                   else type(self)._generate_tokens)
             fn.lower(
-                self, self.model.params, toks, mask, jax.random.PRNGKey(0),
+                self, self.model.params, toks, mask, rng,
                 jnp.float32(self.cfg_weight), jnp.float32(self.temperature),
             ).compile()
 
@@ -525,6 +534,14 @@ class ImageGenEngine:
         return b, t_max
 
     def generate_tokens(self, prompts: Sequence[str], seed: int = 0) -> np.ndarray:
+        out, b_real = self._generate_tokens_device_batch(prompts, seed)
+        return np.asarray(out)[:b_real]
+
+    def _generate_tokens_device_batch(self, prompts: Sequence[str],
+                                      seed: int = 0):
+        """Bucketed token generation, result left ON DEVICE (sharded
+        under a mesh).  Returns (tokens [b_bucket, T], b_real) — rows
+        past b_real are padding duplicates."""
         from ospo_tpu.parallel import mesh as mesh_lib
 
         b_real = len(prompts)
@@ -553,26 +570,23 @@ class ImageGenEngine:
             self.last_sjd_iters = int(iters)
         else:
             out = self._generate_tokens(*args)
-        return np.asarray(out)[:b_real]
+        return out, b_real
 
     def generate_images_device(self, prompts: Sequence[str],
                                seed: int = 0) -> jax.Array:
         """prompts (already T2I-formatted) → uint8 device array
-        [B, H, W, 3] with NO host sync — callers pipeline the fetch
-        (np.asarray) against the next batch's decode (step3's
-        double-buffered writer)."""
-        gen_tokens = self.generate_tokens(prompts, seed=seed)
-        toks = jnp.asarray(gen_tokens)
-        if self.mesh is not None:
-            from ospo_tpu.parallel import mesh as mesh_lib
-
-            if toks.shape[0] % mesh_lib.data_parallel_size(self.mesh) == 0:
-                toks = mesh_lib.shard_on_axis(toks, self.mesh)
+        [b_bucket, H, W, 3] with NO host sync — the token array stays on
+        device (sharded under a mesh) straight into the VQ decode, and
+        callers pipeline the fetch (np.asarray) against the next batch's
+        decode (step3's double-buffered writer).  Rows past
+        ``len(prompts)`` are padding — trim at fetch (``[:n]``)."""
+        toks, _ = self._generate_tokens_device_batch(prompts, seed=seed)
         return self._decode_fn(self.model.params, toks)
 
     def generate_images(self, prompts: Sequence[str], seed: int = 0) -> np.ndarray:
         """prompts (already T2I-formatted) → uint8 images [B, H, W, 3]."""
-        return np.asarray(self.generate_images_device(prompts, seed=seed))
+        imgs = np.asarray(self.generate_images_device(prompts, seed=seed))
+        return imgs[: len(prompts)]
 
     def generate_from_raw_prompts(self, raw_prompts: Sequence[str],
                                   seed: int = 0) -> np.ndarray:

@@ -77,8 +77,12 @@ class TextGenEngine:
             temperature=gen_cfg.get("temperature", 1.0),
             top_p=gen_cfg.get("top_p"),
             do_sample=gen_cfg.get("do_sample", True),
-            kv_quant=("int8" if kv_quant and str(kv_quant).lower()
-                      in ("int8", "true") else False),
+            # honor int4 too (init_kv_cache supports it) — silently
+            # falling back to a bf16 cache would 4x the planned KV HBM
+            kv_quant=(str(kv_quant).lower() if kv_quant
+                      and str(kv_quant).lower() in ("int8", "int4")
+                      else ("int8" if kv_quant
+                            and str(kv_quant).lower() == "true" else False)),
             mesh=getattr(model, "mesh", None),
             batch_cap=batch_cap,
         )
@@ -147,10 +151,16 @@ class TextGenEngine:
     def signature_for(self, prompts: Sequence[str]) -> tuple:
         """The (batch_bucket, prompt_bucket) compile signature
         ``generate_ids`` will use for this batch — feed to :meth:`prewarm`."""
+        from ospo_tpu.parallel import mesh as mesh_lib
+
         input_ids, _ = self.processor.encode_batch_left_padded(list(prompts))
         b_bucket = 1 << (len(prompts) - 1).bit_length()
         if self.batch_cap:
             b_bucket = min(b_bucket, max(self.batch_cap, len(prompts)))
+        # mirror generate_ids exactly: under a mesh the bucket rounds up
+        # to the data axis, else the prewarmed program is never reused
+        dp = mesh_lib.data_parallel_size(self.mesh)
+        b_bucket = ((b_bucket + dp - 1) // dp) * dp
         return b_bucket, _bucket(input_ids.shape[1])
 
     def prewarm(self, signatures, max_workers: int = 4) -> int:
@@ -167,11 +177,21 @@ class TextGenEngine:
         sigs = sorted({(int(b), int(t)) for b, t in signatures})
 
         def compile_one(sig):
+            from ospo_tpu.parallel import mesh as mesh_lib
+
             b, t = sig
             toks = jnp.zeros((b, t), jnp.int32)
             mask = jnp.ones((b, t), jnp.int32)
+            rng = jax.random.PRNGKey(0)
+            if self.mesh is not None:
+                # match generate_ids' input shardings — an unsharded
+                # lowering compiles a DIFFERENT executable and the warm
+                # compile is wasted
+                toks = mesh_lib.shard_on_axis(toks, self.mesh)
+                mask = mesh_lib.shard_on_axis(mask, self.mesh)
+                rng = mesh_lib.replicate(rng, self.mesh)
             type(self)._generate.lower(
-                self, self.model.params, toks, mask, jax.random.PRNGKey(0),
+                self, self.model.params, toks, mask, rng,
                 jnp.float32(self.temperature),
                 max_new=self.max_new_tokens, do_sample=self.do_sample,
                 top_p=self.top_p,

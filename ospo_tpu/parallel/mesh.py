@@ -105,8 +105,37 @@ def _module_specs(key: str, subtree: Any) -> Any:
     return _replicated_like(subtree)
 
 
+def _align_quant_specs(params: Any, specs: Any) -> Any:
+    """Expand matrix PartitionSpecs over quantized weight leaves.
+
+    ``quantize_llama_params`` replaces a projection array with a dict
+    ``{"q"|"q4": [...], "s": [...]}`` (ops/quant.py) — the spec tree,
+    built from names alone, still holds one P for that node.  Align them:
+    ``q`` keeps the matrix spec (int8 preserves the shape; int4 halves
+    the packed out-axis but keeps byte-packed row PAIRS together, so an
+    out-axis shard stays self-contained), ``s`` drops the trailing
+    in-axis (scales are per-output-row)."""
+    if isinstance(params, dict):
+        qkey = "q" if set(params) == {"q", "s"} else (
+            "q4" if set(params) == {"q4", "s"} else None)
+        if qkey is not None and isinstance(specs, P):
+            return {qkey: specs, "s": P(*tuple(specs)[: params["s"].ndim])}
+        if isinstance(specs, dict):
+            return {k: _align_quant_specs(params[k], specs.get(k, P()))
+                    for k in params}
+    return specs
+
+
 def janus_param_specs(params: Dict) -> Dict[str, Any]:
-    return {k: _module_specs(k, v) for k, v in params.items()}
+    specs = {k: _module_specs(k, v) for k, v in params.items()}
+    specs = _align_quant_specs(params, specs)
+    # drop_lm_head replaces the head with a (1, 1) stub (model_factory) —
+    # the vocab-parallel spec cannot divide it; replicate the stub
+    lm = params.get("language_model")
+    if isinstance(lm, dict) and getattr(lm.get("lm_head"), "shape", None) \
+            == (1, 1):
+        specs["language_model"]["lm_head"] = P(None, None)
+    return specs
 
 
 def shard_janus_params(params: Dict, mesh: Mesh) -> Dict:
@@ -122,7 +151,8 @@ def shard_trainable_params(trainable: Dict, mesh: Mesh) -> Dict:
     keys, the freeze-matrix granularity) with the same TP rules the full
     tree gets — gradients and AdamW moments then inherit the layouts via
     GSPMD propagation, so sharded full finetune needs no train-step changes."""
-    specs = {k: _module_specs(k, v) for k, v in trainable.items()}
+    specs = _align_quant_specs(
+        trainable, {k: _module_specs(k, v) for k, v in trainable.items()})
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), trainable, specs
     )

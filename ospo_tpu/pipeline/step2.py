@@ -172,12 +172,15 @@ def main(config) -> None:
     )
     bsz = int(config.batch_size or 8)
     neg_path = os.path.join(config.save_path, "negative_prompt.json")
-    if os.path.exists(neg_path):
-        negatives = shard_for_process(
-            load_base_dataset(neg_path, config.get("s_idx"), config.get("e_idx"))
-        )
+    # single-process only: under multi-process the file exists on host 0
+    # alone (save_json_sharded), so a per-host existence check would
+    # diverge and deadlock the merge collective — regenerate instead.
+    if os.path.exists(neg_path) and jax.process_count() == 1:
+        # the saved file already reflects any s_idx/e_idx slicing of the
+        # original run — load it whole, do not re-slice
+        negatives = load_base_dataset(neg_path, None, None)
         print(f"(Step 2) Resuming from existing {neg_path} "
-              f"({len(negatives)} samples this host); skipping 2a.")
+              f"({len(negatives)} samples); skipping 2a.")
     else:
         data = shard_for_process(
             load_base_dataset(data_path, config.get("s_idx"), config.get("e_idx"))

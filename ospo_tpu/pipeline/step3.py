@@ -62,6 +62,13 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
     # PNG encodes overlap the next batch's device decode
     png_pool = ThreadPoolExecutor(max_workers=2)
     pending = []
+    # async device→host fetches raise IN THE WORKER (np.asarray surfaces
+    # deferred XLA errors there) — count them here so the per-batch fault
+    # tolerance and the all-failed guard still see them
+    import threading
+
+    write_lock = threading.Lock()
+    writer_stats = {"ok": 0, "failed": 0}
     for batch in batched(data, batch_size):
         n_batches += 1
         prompt_lists = [[] for _ in range(6)]
@@ -105,7 +112,15 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
                                    n=n_real):
                     import numpy as _np
 
-                    save_images(_np.asarray(dev)[:n], paths)
+                    try:
+                        save_images(_np.asarray(dev)[:n], paths)
+                        with write_lock:
+                            writer_stats["ok"] += 1
+                    except Exception as e:  # one group, not the stage
+                        with write_lock:
+                            writer_stats["failed"] += 1
+                        print(f"Error in step3 fetch/save ({paths[0]}): {e}")
+                        traceback.print_exc()
 
                 pending.append(png_pool.submit(fetch_and_save))
                 meter.update(n_real * engine.image_token_num)
@@ -116,7 +131,7 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
         done += len(batch)
         print(f"[step3] {done}/{len(data)} items "
               f"({meter.rate:.1f} img-tok/s)")
-    for fut in pending:  # surface any writer errors
+    for fut in pending:  # join the writers (they trap their own errors)
         fut.result()
     png_pool.shutdown()
     # a bad sample must not kill a long run (reference parity), but a run
@@ -126,6 +141,10 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
         raise RuntimeError(
             f"step3: all {n_batches} batches failed — aborting instead of "
             "writing an empty output tree (see errors above)")
+    if writer_stats["failed"] and not writer_stats["ok"]:
+        raise RuntimeError(
+            f"step3: all {writer_stats['failed']} fetch/save groups failed "
+            "— aborting instead of completing with an empty tree")
 
 
 def main(config) -> None:

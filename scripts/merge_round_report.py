@@ -19,7 +19,8 @@ for path in sys.argv[1:-1]:
         if cur is None or (stage.get("ok") and not cur.get("ok")) \
                 or (stage.get("ok") == cur.get("ok")):
             out["stages"][name] = {**stage, "source": path}
-    out.setdefault("budget_model", rep.get("budget_model"))
+    if rep.get("budget_model") and not out.get("budget_model"):
+        out["budget_model"] = rep["budget_model"]
 
 out["total_seconds"] = round(
     sum(s["seconds"] for s in out["stages"].values()), 1)

@@ -187,6 +187,51 @@ def test_scoring_engine_mesh_matches_single_device(serving_setup):
                                    atol=1e-5)
 
 
+@pytest.mark.parametrize("wmode", ["int8", "int4"])
+def test_quantized_weights_shard_and_decode(serving_setup, wmode):
+    """The production combo the configs ship — quantize: int8/int4 PLUS a
+    (data, model) mesh — must shard (q/q4 keep the matrix spec, scales
+    drop the in-axis) and decode identically to the unsharded quantized
+    engine."""
+    from ospo_tpu.engine.image_engine import ImageGenEngine
+    from ospo_tpu.ops import quant
+
+    cfg, model, _, proc, mesh = serving_setup
+    qparams = {**model.params,
+               "language_model": quant.quantize_llama_params(
+                   model.params["language_model"], mode=wmode)}
+    qmodel = janus_lib.JanusModel(cfg, qparams)
+    kwargs = dict(
+        image_token_num=cfg.num_gen_tokens, img_size=cfg.gen_image_size,
+        patch_size=cfg.vq.downsample_factor, kv_quant="int8",
+        kv_layout="shbd", decode_segments=2)
+    prompts = [f"a blue sphere {i}" for i in range(4)]
+    ref = ImageGenEngine(qmodel, proc, **kwargs).generate_tokens(
+        prompts, seed=7)
+
+    smodel = janus_lib.JanusModel(
+        cfg, mesh_lib.shard_janus_params(qparams, mesh))
+    out = ImageGenEngine(smodel, proc, mesh=mesh, **kwargs).generate_tokens(
+        prompts, seed=7)
+    np.testing.assert_array_equal(ref, out)
+
+
+def test_lm_head_stub_spec_replicated():
+    """drop_lm_head's (1, 1) stub must not inherit the vocab-parallel
+    spec (indivisible by the model axis)."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = janus_lib.tiny_janus_config()
+    model = janus_lib.JanusModel.init(cfg, seed=0)
+    lm = dict(model.params["language_model"])
+    lm["lm_head"] = jnp.zeros((1, 1), cfg.dtype)
+    params = {**model.params, "language_model": lm}
+    specs = mesh_lib.janus_param_specs(params)
+    assert specs["language_model"]["lm_head"] == P(None, None)
+    mesh = mesh_lib.create_mesh(n_devices=8, model_parallel=2)
+    mesh_lib.shard_janus_params(params, mesh)  # must not raise
+
+
 def test_text_engine_mesh_matches_single_device(serving_setup):
     """DP+TP batched text decode must emit identical token ids."""
     from ospo_tpu.engine.text_engine import TextGenEngine

@@ -129,3 +129,32 @@ def test_int8_prefix_cache_close_to_bf16(engine_factory):
     out = eng8.score_images([img], qs)[0]
     assert abs(out["local_score"] - ref["local_score"]) < 0.15
     assert abs(out["global_score"] - ref["global_score"]) < 0.15
+
+
+def test_score_jobs_tolerates_corrupt_png(engine, tmp_path):
+    """A truncated PNG (step-3 crash mid-write) costs ONE image, not the
+    chunk or the stage (reference per-sample ethos,
+    ospo/wrapper/image_generation.py:95-97)."""
+    import numpy as np
+    from ospo_tpu.pipeline.step4 import score_jobs
+
+    good = tmp_path / "good.png"
+    Image.fromarray(
+        (np.random.default_rng(1).random((32, 32, 3)) * 255).astype(
+            np.uint8)).save(good)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\n corrupt")
+    qs = ["Is there a cat?", "Global?"]
+    jobs = [
+        {"item_id": "a", "kind": "base", "img_idx": 0, "path": str(good),
+         "questions": qs},
+        {"item_id": "a", "kind": "base", "img_idx": 1, "path": str(bad),
+         "questions": qs},
+    ]
+    results = score_jobs(engine, jobs)
+    assert results[0] is not None and "local_score" in results[0]
+    assert results[1] is None
+
+    # all-corrupt chunk → all None, no raise
+    jobs_bad = [dict(jobs[1]), dict(jobs[1])]
+    assert score_jobs(engine, jobs_bad) == [None, None]
