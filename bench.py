@@ -89,7 +89,7 @@ def build_bench_model(preset: str):
         cfg = janus_lib.tiny_janus_config()
 
     quant_mode = os.environ.get("OSPO_BENCH_QUANT")
-    quant_mode = quant_mode if quant_mode in ("int8", "int4") else None
+    quant_mode = quant_mode if quant_mode in ("int8", "int4", "int4n") else None
 
     def init(key):
         k_lm, k_gal, k_gh, k_ge = jax.random.split(key, 4)

@@ -209,7 +209,8 @@ class JanusModel:
             if quantize:
                 from ospo_tpu.ops import quant
 
-                mode = quantize if quantize in ("int8", "int4") else "int8"
+                mode = (quantize if quantize in ("int8", "int4", "int4n")
+                        else "int8")
                 p = {**p, "language_model":
                      quant.quantize_llama_params(p["language_model"],
                                                  mode=mode)}

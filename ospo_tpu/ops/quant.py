@@ -103,11 +103,38 @@ def quantized_matmul_int4(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
          y_high * qw["s"][..., f2:].astype(x.dtype)], axis=-1)
 
 
+def quantize_matrix_int4_native(w: jax.Array) -> Dict[str, jax.Array]:
+    """[..., F, D] → {"q": s4, "s": f32 [..., F]} — native ``jnp.int4``
+    storage (0.5 byte/weight in HBM) with the SAME dict contract as the
+    int8 representation, so the single-einsum matmul path, sharding
+    specs, and LoRA dispatch apply verbatim (llama._maybe_lora int8
+    branch: convert fused into the dot read).
+
+    This is the fix for the packed two-plane representation's hidden
+    cost: its two einsums each stream the packed array, so HBM traffic
+    equals int8 (measured: int4-packed B=20 857.9 tok/s vs int8 923.0).
+    One dot over s4 storage halves the actual stream — when the backend
+    lowers s4 (guarded in quantize_llama_params)."""
+    s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1) / 7.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(
+        jnp.round(w / s[..., None].astype(w.dtype)), -7, 7
+    ).astype(jnp.int4)
+    return {"q": q, "s": s}
+
+
+_QUANT_FNS = {
+    "int8": quantize_matrix,
+    "int4": quantize_matrix_int4,
+    "int4n": quantize_matrix_int4_native,
+}
+
+
 def quantize_llama_params(params: Dict[str, Any],
                           mode: str = "int8") -> Dict[str, Any]:
     """Quantize the stacked layer projections (embed/norms/lm_head stay
     bf16 — the embedding is a lookup, not a matmul read)."""
-    qfn = quantize_matrix if mode == "int8" else quantize_matrix_int4
+    qfn = _QUANT_FNS[mode]
     layers = dict(params["layers"])
     for name in QUANTIZABLE:
         layers[name] = qfn(layers[name])
@@ -130,9 +157,7 @@ def quantize_llama_params_incremental(params: Dict[str, Any],
     later allocation then fails with RESOURCE_EXHAUSTED).  Fused
     init-time quantization (``JanusModel.init(quantize=True)``) remains
     the better path when the weights don't pre-exist on device."""
-    quantize_one = jax.jit(
-        quantize_matrix if mode == "int8" else quantize_matrix_int4,
-        donate_argnums=0)
+    quantize_one = jax.jit(_QUANT_FNS[mode], donate_argnums=0)
     layers = dict(params["layers"])
     for name in QUANTIZABLE:
         w = layers[name]

@@ -111,7 +111,7 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
     # optional weight-only int8 (decode-path HBM relief; generation steps
     # only — training consumes full-precision weights)
     qmode = (config.get("quantize") or "").lower()
-    if qmode in ("int8", "int4"):
+    if qmode in ("int8", "int4", "int4n"):
         from ospo_tpu.ops import quant
 
         print(f"# Quantizing language-model weights to {qmode} "

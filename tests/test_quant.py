@@ -126,3 +126,44 @@ def test_int4_weight_forward_close_to_bf16():
     b = np.asarray(out, np.float32).ravel()
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.98, corr
+
+
+def test_int4_native_matches_packed_quantization():
+    """mode='int4n' (native s4 storage, single-dot path) must produce
+    the same quantized VALUES as the packed two-plane representation —
+    only the storage layout differs (the s4 dot halves the real HBM
+    stream; the packed form's two einsums each re-read the array)."""
+    from ospo_tpu.models import llama
+    from ospo_tpu.ops import quant
+
+    w = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 16), jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(4), (3, 5, 16), jnp.bfloat16)
+    packed = quant.quantize_matrix_int4(w[0])
+    native = quant.quantize_matrix_int4_native(w[0])
+    assert native["q"].dtype == jnp.int4
+    np.testing.assert_array_equal(
+        np.asarray(quant.dequantize_matrix_int4(packed, jnp.float32)),
+        np.asarray(native["q"], np.int8).astype(np.float32)
+        * np.asarray(native["s"])[..., None])
+    # the int8 dict matmul path consumes it verbatim
+    out = quant.quantized_matmul(x, native)
+    ref = quant.quantized_matmul_int4(x, packed)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=1e-3, rtol=1e-3)
+
+    # and the stacked-tree mode flows through the llama forward
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qn = quant.quantize_llama_params(params, mode="int4n")
+    ids = jnp.arange(12).reshape(1, 12) % cfg.vocab_size
+    mask = jnp.ones((1, 12), jnp.int32)
+    xh = llama.embed_tokens(params, ids)
+    q4 = quant.quantize_llama_params(params, mode="int4")
+    ref_h, _ = llama.forward(q4, cfg, xh, mask,
+                             llama.positions_from_mask(mask))
+    out_h, _ = llama.forward(qn, cfg, xh, mask,
+                             llama.positions_from_mask(mask))
+    np.testing.assert_allclose(np.asarray(out_h, np.float32),
+                               np.asarray(ref_h, np.float32),
+                               atol=2e-2, rtol=2e-2)
