@@ -17,13 +17,19 @@ representations:
 Run on the real chip:  python scripts/int4_matmul_bench.py [rows]
 """
 
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-from ospo_tpu.ops import quant
+# self-contained path setup: add the repo root WITHOUT touching
+# PYTHONPATH (replacing PYTHONPATH drops the environment's plugin site
+# and the TPU backend with it)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ospo_tpu.ops import quant  # noqa: E402
 
 L, F, D = 8, 11008, 4096  # 8 stacked big-MLP layers is enough signal
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 40
