@@ -341,10 +341,19 @@ def bench_score(preset: str) -> None:
         return Image.fromarray(
             (rng.random((side, side, 3)) * 255).astype(np.uint8))
 
+    uniform = os.environ.get("OSPO_BENCH_SCORE_UNIFORM") == "1"
+
     def chunk(base):
         imgs = [img(base + j) for j in range(group)]
-        # 6 consecutive images (one item) share a question list
-        qs = [qsets[(base + j) // 6 % len(qsets)] for j in range(group)]
+        if uniform:
+            # step 4 sorts jobs by question count before chunking, so
+            # production chunks are Q-uniform — no padded suffix slots.
+            # One fixed 3-question set: same mean suffix work as the
+            # mixed variant (Q = 3 vs mean 3), steady-state signature
+            qs = [qsets[0]] * group
+        else:
+            # 6 consecutive images (one item) share a question list
+            qs = [qsets[(base + j) // 6 % len(qsets)] for j in range(group)]
         return imgs, qs
 
     t0 = time.time()
