@@ -31,7 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ospo_tpu.ops import quant  # noqa: E402
 
-L, F, D = 8, 11008, 4096  # 8 stacked big-MLP layers is enough signal
+L, F, D = 30, 11008, 4096   # full 7B MLP stack
+REPS = 4                    # chained repeats: 120 × 90 MB weight reads
+                            # (10.8 GB bf16) so the stream dominates the
+                            # ~25 ms tunnel round-trip floor
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 
 
@@ -55,17 +58,30 @@ def timeit(name, fn, *args):
 
 def main():
     key = jax.random.PRNGKey(0)
-    w = jax.random.normal(key, (L, F, D), jnp.float32).astype(jnp.bfloat16) * 0.02
-    x = jax.random.normal(jax.random.fold_in(key, 1), (ROWS, 1, D),
-                          jnp.bfloat16)
-    q8 = jax.jit(quant.quantize_matrix)(w)
-    q4 = jax.jit(quant.quantize_matrix_int4)(w)
+    print("# init weights...", flush=True)
+    # one fused program for all inputs (eager op-by-op init is
+    # pathological through the tunnel)
+    @jax.jit
+    def build(key):
+        w = (jax.random.normal(key, (L, F, D), jnp.bfloat16) * 0.02)
+        x = jax.random.normal(jax.random.fold_in(key, 1), (ROWS, 1, D),
+                              jnp.bfloat16)
+        return w, x, quant.quantize_matrix(w), quant.quantize_matrix_int4(w)
+
+    w, x, q8, q4 = jax.block_until_ready(build(key))
+    print("# inputs ready", flush=True)
 
     def scan_over(f, weights):
+        # chain the activations through every layer and repeat so no two
+        # matmuls share an input (CSE-proof); each step reads one [F, D]
+        # weight slice exactly once
         def body(acc, wl):
-            return acc + f(x, wl), None
-        init = jnp.zeros((ROWS, 1, F), jnp.bfloat16)
-        return jax.lax.scan(body, init, weights)[0]
+            y = f(acc, wl)                       # [ROWS, 1, F]
+            return (acc + y[..., :D] * jnp.bfloat16(1e-6)), None
+        acc = x
+        for _ in range(REPS):
+            acc, _ = jax.lax.scan(body, acc, weights)
+        return acc
 
     timeit("bf16", lambda w_: scan_over(
         lambda x_, wl: jnp.einsum("btd,fd->btf", x_, wl), w_), w)
@@ -73,12 +89,39 @@ def main():
     timeit("int4 2-plane", lambda q_: scan_over(
         quant.quantized_matmul_int4, q_), q4)
 
+    # int4 carried across the jit boundary as PACKED int8 bytes, bitcast
+    # to s4 inside the program (sidesteps the int4-jit-argument
+    # RecursionError while keeping the 0.5 byte/weight stream)
+    try:
+        @jax.jit
+        def build_packed(w):
+            qn = quant.quantize_matrix_int4_native(w)
+            q = qn["q"]  # s4 [L, F, D]
+            pk = jax.lax.bitcast_convert_type(
+                q.reshape(*q.shape[:-1], q.shape[-1] // 2, 2), jnp.int8)
+            return pk, qn["s"]
+
+        pk, s_pk = jax.block_until_ready(build_packed(w))
+        print(f"# packed bytes dtype={pk.dtype} shape={pk.shape}",
+              flush=True)
+
+        def bitcast_matmul(x_, wl_and_s):
+            wl, sl = wl_and_s  # int8 [F, D/2], f32 [F]
+            w4 = jax.lax.bitcast_convert_type(wl, jnp.int4)
+            w4 = w4.reshape(*w4.shape[:-2], w4.shape[-2] * 2)
+            y = jnp.einsum("btd,fd->btf", x_, w4.astype(x_.dtype))
+            return y * sl.astype(x_.dtype)
+
+        timeit("int4 bitcast", lambda q_, s_: scan_over(
+            bitcast_matmul, (q_, s_)), pk, s_pk)
+    except Exception as e:
+        print(f"int4 bitcast FAILED outside jit: {type(e).__name__}: {e}")
+
     # native s4 storage, one dot
     try:
-        s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1) / 7.0
-        qs4 = jnp.clip(jnp.round(w / s[..., None].astype(w.dtype)), -7, 7
-                       ).astype(jnp.int4)
-        qs4 = jax.block_until_ready(qs4)
+        qn = jax.block_until_ready(
+            jax.jit(quant.quantize_matrix_int4_native)(w))
+        qs4, s = qn["q"], qn["s"]
 
         def s4_matmul(x_, wl_and_s):
             wl, sl = wl_and_s
