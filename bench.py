@@ -312,10 +312,13 @@ def bench_score(preset: str) -> None:
         cfg = janus_lib.tiny_janus_config()
     # W8A16 trunk fused into the init program (matmuls consume {"q","s"}
     # dicts transparently); the ViT/aligner stay bf16
-    quant_mode = os.environ.get("OSPO_BENCH_QUANT") == "int8"
+    quant_mode = os.environ.get("OSPO_BENCH_QUANT")
+    quant_mode = (quant_mode
+                  if quant_mode in ("int8", "int4", "int4n") else False)
     model = janus_lib.JanusModel.init(cfg, seed=0, quantize=quant_mode)
     if quant_mode:
-        print("# int8 weight quantization enabled", file=sys.stderr)
+        print(f"# {quant_mode} weight quantization enabled",
+              file=sys.stderr)
 
     tok = ByteTokenizer(vocab_size=min(512, cfg.language.vocab_size))
     proc = Processor(tok, ImageProcessor(image_size=cfg.vision.image_size),
@@ -335,7 +338,7 @@ def bench_score(preset: str) -> None:
         ["Is there a dog?",
          "Does this image accurately represent the prompt?"],
     ]
-    group = int(os.environ.get("OSPO_BENCH_SCORE_ROWS", "12"))
+    group = int(os.environ.get("OSPO_BENCH_SCORE_ROWS", "14"))
 
     def img(i):
         return Image.fromarray(
@@ -445,12 +448,17 @@ def main() -> None:
     # With the batch-minor cache layout throughput peaks at B≈24
     # (position-major peaked at B=20: XLA made in-loop layout copies);
     # bf16 (OSPO_BENCH_QUANT=bf16): ~11.4GB + 1.26GB/pair → B=4 max
-    quantized = os.environ.get("OSPO_BENCH_QUANT") == "int8"
+    qmode = os.environ.get("OSPO_BENCH_QUANT")
+    quantized = qmode in ("int8", "int4", "int4n")
     # int4 KV: half the int8 cache bytes -> larger serving batches fit
     # (absolute peak: B=44 -> 1071.9 tok/s, but the batch-matched ratio
     # drops to 1.19 -- the modeled A100's bandwidth edge grows with batch)
     if os.environ.get("OSPO_BENCH_KV") == "int4":
         default_batches = [44, 40, 36, 32, 28]  # 48 OOMs
+    elif qmode in ("int4", "int4n"):
+        # int4 weights free ~3.3 GB vs int8 -> the measured peak moves to
+        # B=32 (1062.4 tok/s with the qualified int8 KV, BENCH_NOTES)
+        default_batches = [32, 28, 24, 20]
     else:
         # B=20 is the recorded serving default: 923.0 tok/s = 2.066x the
         # batch-matched reference (the BASELINE.md north star); B=24 is

@@ -188,9 +188,25 @@ class ScoringEngine:
                       "prefix cache + XLA's cache layout copies exceed a "
                       "16 GB chip; int8 weights fit)", file=sys.stderr)
                 self._shared_oom = True  # sticky: don't retry every item
+        # batched fallback: pack whole images into ≤32-row forwards (one
+        # row per (image, question)).  The fallback serves bf16 trunks on
+        # 16 GB chips where the shared-prefix cache OOMs but a plain
+        # N·Q-row prefill fits — one forward per image would cost ~batch×
+        # the wall-clock for the rest of the run once the sticky flag is
+        # set.  Q-sorted step-4 chunks keep the (rows, T) signatures few.
         out: List[Dict] = []
+        group: List = []
+        gqs: List[List[str]] = []
+        rows = 0
         for img, qs in zip(images, questions_per_image):
-            out.extend(self._score_images_full([img], qs))
+            if rows and rows + len(qs) > 32:
+                out.extend(self._score_images_full(group, gqs))
+                group, gqs, rows = [], [], 0
+            group.append(img)
+            gqs.append(list(qs))
+            rows += len(qs)
+        if group:
+            out.extend(self._score_images_full(group, gqs))
         return out
 
     def _score_shared_multi(self, images: Sequence,
@@ -292,10 +308,12 @@ class ScoringEngine:
         ]
 
     def _score_images_full(self, images: Sequence,
-                           questions: Sequence[str]) -> List[Dict]:
+                           questions_per_image) -> List[Dict]:
+        """N images, each with its OWN (possibly ragged) question list, in
+        one N·ΣQ-row forward; rows stay image-major."""
         prepares = []
-        for image in images:
-            for c in self.question_conversations(image, questions):
+        for image, qs in zip(images, questions_per_image):
+            for c in self.question_conversations(image, qs):
                 prepares.append(
                     self.processor.process_one(conversations=c, images=[image])
                 )
@@ -316,7 +334,13 @@ class ScoringEngine:
             jnp.asarray(seq_mask), jnp.asarray(batch.images_emb_mask),
         ))
 
-        return self._collect_scores(yn, len(images), len(questions))
+        results: List[Dict] = []
+        off = 0
+        for qs in questions_per_image:
+            results.extend(self._collect_scores(yn[off:off + len(qs)],
+                                                1, len(qs)))
+            off += len(qs)
+        return results
 
     def _collect_scores(self, yn: np.ndarray, n_images: int,
                         q_count: int) -> List[Dict]:

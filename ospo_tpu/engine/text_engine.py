@@ -25,6 +25,7 @@ import numpy as np
 
 from ospo_tpu.models import janus as janus_lib
 from ospo_tpu.models import llama
+from ospo_tpu.ops.quant import parse_kv_quant
 from ospo_tpu.ops.sampling import sample_token
 from ospo_tpu.processing import Processor
 
@@ -78,11 +79,9 @@ class TextGenEngine:
             top_p=gen_cfg.get("top_p"),
             do_sample=gen_cfg.get("do_sample", True),
             # honor int4 too (init_kv_cache supports it) — silently
-            # falling back to a bf16 cache would 4x the planned KV HBM
-            kv_quant=(str(kv_quant).lower() if kv_quant
-                      and str(kv_quant).lower() in ("int8", "int4")
-                      else ("int8" if kv_quant
-                            and str(kv_quant).lower() == "true" else False)),
+            # falling back to a bf16 cache would 4x the planned KV HBM,
+            # so unknown spellings are an error rather than "off"
+            kv_quant=parse_kv_quant(kv_quant),
             mesh=getattr(model, "mesh", None),
             batch_cap=batch_cap,
         )

@@ -24,6 +24,31 @@ import jax.numpy as jnp
 QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
+def parse_kv_quant(value):
+    """Normalize a config ``kv_quant`` spelling to False | "int8" | "int4".
+
+    None/False/""/"false"/"none"/"0"/"off" → False (bf16 cache);
+    True/"true"/"1"/"on" → "int8"; "int8"/"int4" pass through.  Anything
+    else raises: the shipped batch sizes are tuned for a quantized cache,
+    so a silent bf16 fallback on a typo would 2–4× the planned KV HBM
+    (OOM or an unexplained serving-point change) instead of an error.
+    """
+    if value is None or value is False:
+        return False
+    if value is True:
+        return "int8"
+    s = str(value).strip().lower()
+    if s in ("", "false", "none", "0", "off"):
+        return False
+    if s in ("true", "1", "on"):
+        return "int8"
+    if s in ("int8", "int4"):
+        return s
+    raise ValueError(
+        f"unrecognized kv_quant value {value!r}: use int8, int4, "
+        "true (= int8), or false/unset (bf16 cache)")
+
+
 def quantize_matrix(w: jax.Array) -> Dict[str, jax.Array]:
     """[..., F, D] → {q: int8, s: f32 [..., F]} per-output-row symmetric.
 
@@ -129,11 +154,38 @@ _QUANT_FNS = {
     "int4n": quantize_matrix_int4_native,
 }
 
+_S4_OK = None
+
+
+def _assert_s4_supported():
+    """``quantize: int4n`` needs a backend that accepts ``jnp.int4`` jit
+    arguments; the tunneled v5e backend trips a RecursionError inside
+    jax's s4 handling (scripts/int4_matmul_bench.py, BENCH_NOTES "int4
+    weight-representation microbench").  Probe once and fail with a
+    clear message instead of an opaque crash deep inside the first
+    decode jit."""
+    global _S4_OK
+    if _S4_OK is None:
+        try:
+            x = jnp.zeros((8,), dtype=jnp.int4)
+            jax.jit(lambda a: a.astype(jnp.int8).sum())(x).block_until_ready()
+            _S4_OK = True
+        except RecursionError:
+            _S4_OK = False
+    if not _S4_OK:
+        raise RuntimeError(
+            "quantize: int4n requires native s4 jit-argument support, "
+            "which this jax backend lacks (RecursionError at the jit "
+            "boundary). Use quantize: int8 (quality-qualified) or int4 "
+            "(packed, works everywhere).")
+
 
 def quantize_llama_params(params: Dict[str, Any],
                           mode: str = "int8") -> Dict[str, Any]:
     """Quantize the stacked layer projections (embed/norms/lm_head stay
     bf16 — the embedding is a lookup, not a matmul read)."""
+    if mode == "int4n":
+        _assert_s4_supported()
     qfn = _QUANT_FNS[mode]
     layers = dict(params["layers"])
     for name in QUANTIZABLE:
@@ -157,6 +209,8 @@ def quantize_llama_params_incremental(params: Dict[str, Any],
     later allocation then fails with RESOURCE_EXHAUSTED).  Fused
     init-time quantization (``JanusModel.init(quantize=True)``) remains
     the better path when the weights don't pre-exist on device."""
+    if mode == "int4n":
+        _assert_s4_supported()
     quantize_one = jax.jit(_QUANT_FNS[mode], donate_argnums=0)
     layers = dict(params["layers"])
     for name in QUANTIZABLE:

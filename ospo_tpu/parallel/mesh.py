@@ -111,10 +111,17 @@ def _align_quant_specs(params: Any, specs: Any) -> Any:
     ``quantize_llama_params`` replaces a projection array with a dict
     ``{"q"|"q4": [...], "s": [...]}`` (ops/quant.py) — the spec tree,
     built from names alone, still holds one P for that node.  Align them:
-    ``q`` keeps the matrix spec (int8 preserves the shape; int4 halves
-    the packed out-axis but keeps byte-packed row PAIRS together, so an
-    out-axis shard stays self-contained), ``s`` drops the trailing
-    in-axis (scales are per-output-row)."""
+    ``q`` keeps the matrix spec (int8 preserves the shape), ``s`` drops
+    the trailing in-axis (scales are per-output-row).  int4 caveat: byte
+    packing pairs original row r with row r+F/2 into packed row r, so an
+    out-axis shard of ``q4`` holds rows [k·F/2m, (k+1)·F/2m) ∪ the same
+    window shifted by F/2 while the contiguous ``s`` shard does NOT —
+    the ``s[..., :f2]`` / ``s[..., f2:]`` slices in
+    ``quantized_matmul_int4`` make GSPMD reshard the (tiny, per-row)
+    scales inside the decode scan.  Correct but not collective-free; a
+    plane-major ``[..., 2, F/2]`` scale layout would align it if int4+TP
+    ever becomes a production path (int4 weights are quality-gated
+    today)."""
     if isinstance(params, dict):
         qkey = "q" if set(params) == {"q", "s"} else (
             "q4" if set(params) == {"q4", "s"} else None)

@@ -21,6 +21,7 @@ from PIL import Image
 from ospo_tpu.config import Config, build_config, compose_config
 from ospo_tpu.engine.image_engine import ImageGenEngine
 from ospo_tpu.io import read_json, save_json, shard_for_process
+from ospo_tpu.ops.quant import parse_kv_quant
 from ospo_tpu.pipeline.datasets import batched
 from ospo_tpu.pipeline.model_factory import get_model
 
@@ -69,9 +70,7 @@ def main(config) -> None:
         image_token_num=model.cfg.num_gen_tokens,
         img_size=model.cfg.gen_image_size,
         patch_size=model.cfg.vq.downsample_factor,
-        kv_quant=((config.get("kv_quant") or "").lower()
-                  if (config.get("kv_quant") or "").lower()
-                  in ("int8", "int4") else False),
+        kv_quant=parse_kv_quant(config.get("kv_quant")),
         # 8 growing windows: +38% decode throughput at the 7B serving
         # point (BENCH_NOTES); no-op for kernel/SJD runs. 0/1 = off
         # (only unset falls back to the default of 8)

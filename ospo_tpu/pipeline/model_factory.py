@@ -84,8 +84,22 @@ def build_model(config) -> janus_lib.JanusModel:
     return janus_lib.JanusModel.init(cfg, seed=seed)
 
 
+def _validate_quantize_mode(config) -> str:
+    """Reject unknown ``quantize`` spellings BEFORE the (minutes-long at
+    7B) model build: a typo would otherwise silently serve an
+    unquantized bf16 trunk that OOMs — or quietly changes numerics — at
+    the int8-tuned batch sizes."""
+    qmode = (str(config.get("quantize") or "")).lower()
+    if qmode not in ("", "none", "false", "bf16", "int8", "int4", "int4n"):
+        raise ValueError(
+            f"unrecognized quantize value {config.get('quantize')!r}: "
+            "use int8, int4, int4n, or unset/none/bf16")
+    return qmode
+
+
 def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
     """→ (JanusModel, tokenizer, Processor)."""
+    _validate_quantize_mode(config)
     model = build_model(config)
     model_path = config.get("model_path")
     tokenizer = load_tokenizer(
@@ -110,7 +124,7 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
 
     # optional weight-only int8 (decode-path HBM relief; generation steps
     # only — training consumes full-precision weights)
-    qmode = (config.get("quantize") or "").lower()
+    qmode = _validate_quantize_mode(config)
     if qmode in ("int8", "int4", "int4n"):
         from ospo_tpu.ops import quant
 

@@ -161,12 +161,13 @@ def _weight_fingerprint(model) -> list:
     """Cheap cross-process identity check for the loaded weights (the
     two-process weight gate relies on both processes seeing the SAME
     synthetic/ported checkpoint)."""
-    import jax
     import numpy as np
 
-    leaves = jax.tree.leaves(model.params["language_model"])
-    probe = leaves[0]
-    flat = np.asarray(probe[(0,) * (probe.ndim - 1)][:8], dtype=np.float32)
+    # probe a leaf that weight quantization never touches, so the
+    # bf16-reference process and the int8/int4-serving process
+    # fingerprint identically iff they loaded the same checkpoint
+    probe = model.params["language_model"]["embed"]
+    flat = np.asarray(probe[0][:8], dtype=np.float32)
     return [round(float(x), 5) for x in flat]
 
 
@@ -204,6 +205,17 @@ def phase_divergence(model, processor, n_tokens: int, batch: int,
         with open(os.path.join(compare_reference, "meta.json")) as f:
             meta = json.load(f)
         assert meta["batch"] == batch and meta["n_tokens"] >= 1, meta
+        # refuse to score against a reference exported from DIFFERENT
+        # weights (stale dir, wrong --model_path): the gate would emit a
+        # plausible-looking KL for a nonsense comparison
+        fp = _weight_fingerprint(model)
+        ref_fp = meta.get("weight_fingerprint")
+        if ref_fp is not None and any(
+                abs(a - b) > 1e-4 for a, b in zip(fp, ref_fp)):
+            raise SystemExit(
+                f"weight fingerprint mismatch: this process loaded "
+                f"{fp} but the reference at {compare_reference} was "
+                f"exported from {ref_fp} — different checkpoints")
         forced = np.load(os.path.join(compare_reference, "forced.npy"))
         ref_logits = np.load(os.path.join(compare_reference,
                                           "ref_logits.npy"))

@@ -39,3 +39,10 @@ def test_unknown_preset_raises():
 def test_explicit_tiny_preset_builds():
     model = model_factory.build_model(cfg(model_preset="tiny", seed=0))
     assert model.params is not None
+
+
+def test_unknown_quantize_rejected_before_build():
+    # the typo check must fire BEFORE the (expensive) model build
+    with pytest.raises(ValueError, match="unrecognized quantize"):
+        model_factory.get_model(
+            Config.from_nested(dict(quantize="int16", model_preset="tiny")))

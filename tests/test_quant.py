@@ -167,3 +167,23 @@ def test_int4_native_matches_packed_quantization():
     np.testing.assert_allclose(np.asarray(out_h, np.float32),
                                np.asarray(ref_h, np.float32),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_parse_kv_quant_spellings():
+    import pytest
+
+    assert quant.parse_kv_quant(None) is False
+    assert quant.parse_kv_quant(False) is False
+    assert quant.parse_kv_quant("") is False
+    assert quant.parse_kv_quant("false") is False
+    assert quant.parse_kv_quant("off") is False
+    assert quant.parse_kv_quant(True) == "int8"
+    assert quant.parse_kv_quant("true") == "int8"
+    assert quant.parse_kv_quant("int8") == "int8"
+    assert quant.parse_kv_quant("INT4") == "int4"
+    # a typo must raise, not silently allocate a bf16 cache at batch
+    # sizes tuned for a quantized one
+    with pytest.raises(ValueError):
+        quant.parse_kv_quant("int16")
+    with pytest.raises(ValueError):
+        quant.parse_kv_quant("on_please")

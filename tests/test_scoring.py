@@ -158,3 +158,25 @@ def test_score_jobs_tolerates_corrupt_png(engine, tmp_path):
     # all-corrupt chunk → all None, no raise
     jobs_bad = [dict(jobs[1]), dict(jobs[1])]
     assert score_jobs(engine, jobs_bad) == [None, None]
+
+
+def test_fallback_path_batches_ragged_questions(engine):
+    """The non-shared fallback (what a sticky OOM downgrades to) must
+    score ragged per-image question lists in packed multi-image forwards
+    and still match the shared-prefix path."""
+    rng = np.random.default_rng(17)
+    imgs = [Image.fromarray(
+        rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8))
+        for _ in range(3)]
+    per_image = [
+        ["Is there a dog?", "Is it red?"],
+        ["Is the sky blue?", "Is it big?", "Does it match the prompt?"],
+        ["Is there a cat?"],
+    ]
+    shared = engine.score_images_multi(imgs, per_image, share_prefix=True)
+    fallback = engine.score_images_multi(imgs, per_image,
+                                         share_prefix=False)
+    for s, f, qs in zip(shared, fallback, per_image):
+        assert len(f["answer_metadata"]) == len(qs)
+        assert abs(s["local_score"] - f["local_score"]) < 2e-4
+        assert abs(s["global_score"] - f["global_score"]) < 2e-4
