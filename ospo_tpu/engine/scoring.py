@@ -11,7 +11,7 @@ gap over non-global questions, global score = last question's gap.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence
+from typing import Dict, List, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +24,14 @@ from ospo_tpu.processing import Processor
 
 def _bucket(n: int, step: int = 64) -> int:
     return max(step, ((n + step - 1) // step) * step)
+
+
+class _SharedPrep(NamedTuple):
+    """Host-prepared operand package for one shared-prefix scoring call
+    (``ScoringEngine.prepare_shared_multi`` → ``_execute_shared_multi``)."""
+    operands: List[np.ndarray]
+    q_counts: List[int]
+    n_real: int
 
 
 class ScoringEngine:
@@ -162,17 +170,23 @@ class ScoringEngine:
 
     def score_images_multi(self, images: Sequence,
                            questions_per_image: Sequence[Sequence[str]],
-                           share_prefix: bool = True) -> List[Dict]:
+                           share_prefix: bool = True,
+                           prep: "_SharedPrep" = None) -> List[Dict]:
         """N images, each with its OWN question list — cross-item batching
         for step 4b (images from MULTIPLE items share one program; the
         common token prefix always contains the template + 576-token image
         span, since per-item text only begins at the question).  Padded
         question slots (items with fewer questions than the batch max)
-        repeat the image's last suffix and are dropped before scoring."""
+        repeat the image's last suffix and are dropped before scoring.
+        ``prep`` supplies a host-prepared operand package (from
+        :meth:`prepare_shared_multi`, typically built on a prefetch
+        thread) so the shared path skips straight to device work."""
         assert len(images) == len(questions_per_image)
         if share_prefix and not self._shared_oom:
             try:
-                return self._score_shared_multi(images, questions_per_image)
+                return self._execute_shared_multi(
+                    prep if prep is not None else
+                    self.prepare_shared_multi(images, questions_per_image))
             except jax.errors.JaxRuntimeError as e:
                 import sys
                 import traceback
@@ -211,6 +225,16 @@ class ScoringEngine:
 
     def _score_shared_multi(self, images: Sequence,
                             questions_per_image) -> List[Dict]:
+        return self._execute_shared_multi(
+            self.prepare_shared_multi(images, questions_per_image))
+
+    def prepare_shared_multi(self, images: Sequence,
+                             questions_per_image) -> "_SharedPrep":
+        """HOST half of the shared-prefix scorer: decoded PIL images +
+        per-image question lists → numpy operand package.  Pure host work
+        (tokenize, common-prefix split, image preprocessing, padding) —
+        safe to run on a prefetch thread while the chip executes the
+        previous chunk (``step4.run_scoring`` overlaps them)."""
         from ospo_tpu.parallel import mesh as mesh_lib
 
         n_real = len(images)
@@ -279,14 +303,23 @@ class ScoringEngine:
                 sfx_mask[qi, i, t_b - len(s):] = 1
 
         operands = [
-            jnp.asarray(np.tile(prefix_ids, (n, 1))),
-            jnp.asarray(np.tile(prefix_mask, (n, 1))),
-            jnp.asarray(pixel_values),
-            jnp.asarray(np.tile(prefix_seq_mask, (n, 1))),
-            jnp.asarray(emb_mask),
-            jnp.asarray(sfx_ids),
-            jnp.asarray(sfx_mask),
+            np.tile(prefix_ids, (n, 1)),
+            np.tile(prefix_mask, (n, 1)),
+            pixel_values,
+            np.tile(prefix_seq_mask, (n, 1)),
+            emb_mask,
+            sfx_ids,
+            sfx_mask,
         ]
+        return _SharedPrep(operands, q_counts, n_real)
+
+    def _execute_shared_multi(self, prep: "_SharedPrep") -> List[Dict]:
+        """DEVICE half: transfer/shard the prepared operands, run the
+        encode + shared-prefix program, collect per-image scores."""
+        from ospo_tpu.parallel import mesh as mesh_lib
+
+        q_counts, n_real = prep.q_counts, prep.n_real
+        operands = [jnp.asarray(x) for x in prep.operands]
         if self.mesh is not None:
             # image batch on 'data': axis 0 everywhere except the [Q, N, T]
             # suffix operands, whose batch sits on axis 1

@@ -293,13 +293,29 @@ class SimPOTrainer:
         last_metrics: Dict[str, float] = {}
         t0 = time.time()
         samples = 0
-        for epoch in range(max_epochs):
-            for batch_items in dataset.iter_batches(
+        # single-worker prefetch: the NEXT batch's host work (PNG decode
+        # + preprocessing in collate) overlaps the current device step —
+        # collate is jax-free, so the worker never races the dispatch
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+
+        def prefetched(it):
+            nxt = None
+            for items in it:
+                if nxt is not None:
+                    yield nxt[0], nxt[1].result()
+                nxt = (items, pool.submit(self.collate, items))
+            if nxt is not None:
+                yield nxt[0], nxt[1].result()
+
+        try:
+          for epoch in range(max_epochs):
+            for batch_items, batch in prefetched(dataset.iter_batches(
                 batch_size, shuffle=True, seed=self.seed + epoch
-            ):
+            )):
                 if self.global_step >= self.max_steps:
                     break
-                batch = self.collate(batch_items)
                 self.trainable, self.opt_state, metrics = self._step(
                     self.trainable, self.opt_state,
                     jnp.asarray(batch["text_ids"]),
@@ -330,6 +346,8 @@ class SimPOTrainer:
 
                 if self.save_steps and self.global_step % int(self.save_steps) == 0:
                     self.save()
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
         self.save()
         if self._writer is not None:
             self._writer.flush()

@@ -180,3 +180,20 @@ def test_fallback_path_batches_ragged_questions(engine):
         assert len(f["answer_metadata"]) == len(qs)
         assert abs(s["local_score"] - f["local_score"]) < 2e-4
         assert abs(s["global_score"] - f["global_score"]) < 2e-4
+
+
+def test_prepared_scoring_matches_direct(engine):
+    """prepare_shared_multi + prep= (the prefetch-thread path in
+    step4.run_scoring) must score identically to the direct call."""
+    rng = np.random.default_rng(19)
+    imgs = [Image.fromarray(
+        rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8))
+        for _ in range(2)]
+    per_image = [["Is there a dog?", "Does it match the prompt?"],
+                 ["Is it red?", "Is it big?", "Does it match?"]]
+    prep = engine.prepare_shared_multi(imgs, per_image)
+    direct = engine.score_images_multi(imgs, per_image)
+    via_prep = engine.score_images_multi(imgs, per_image, prep=prep)
+    for d, p in zip(direct, via_prep):
+        assert d["local_score"] == p["local_score"]
+        assert d["global_score"] == p["global_score"]
