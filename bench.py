@@ -385,7 +385,8 @@ def bench_score(preset: str) -> None:
             for i in range(1, n_meas + 2):
                 t0 = time.time()
                 imgs, qs, prep = nxt.result()
-                nxt = pool.submit(prep_c, (i + 1) * group)
+                if i <= n_meas:  # the last iteration consumes, not submits
+                    nxt = pool.submit(prep_c, (i + 1) * group)
                 engine.score_images_multi(imgs, qs, prep=prep)
                 if i > 1:  # first iteration's prep had nothing to hide under
                     times.append(time.time() - t0)

@@ -293,24 +293,35 @@ class SimPOTrainer:
         last_metrics: Dict[str, float] = {}
         t0 = time.time()
         samples = 0
-        # single-worker prefetch: the NEXT batch's host work (PNG decode
-        # + preprocessing in collate) overlaps the current device step —
-        # collate is jax-free, so the worker never races the dispatch
+        # single-worker prefetch: the NEXT batch's host work overlaps the
+        # current device step.  The worker owns the dataset iterator, so
+        # the expensive part — PreferenceDataset.__getitem__'s PNG decode
+        # + image preprocessing, which runs lazily at next() — happens on
+        # the worker too, not just the cheap collate stack.  All of it is
+        # jax-free, so the worker never races the dispatch.
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=1)
 
         def prefetched(it):
-            nxt = None
-            for items in it:
-                if nxt is not None:
-                    yield nxt[0], nxt[1].result()
-                nxt = (items, pool.submit(self.collate, items))
-            if nxt is not None:
-                yield nxt[0], nxt[1].result()
+            def pull():
+                items = next(it, None)
+                if items is None:
+                    return None
+                return items, self.collate(items)
+
+            nxt = pool.submit(pull)
+            while True:
+                got = nxt.result()
+                if got is None:
+                    return
+                nxt = pool.submit(pull)
+                yield got
 
         try:
           for epoch in range(max_epochs):
+            if self.global_step >= self.max_steps:
+                break  # don't decode a prefetch batch for a no-op epoch
             for batch_items, batch in prefetched(dataset.iter_batches(
                 batch_size, shuffle=True, seed=self.seed + epoch
             )):

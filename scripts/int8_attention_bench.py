@@ -22,14 +22,11 @@ Run on the real chip:  python scripts/int8_attention_bench.py [S] [B]
 serving point; B = CFG rows, default 40 = 20 pairs.)
 """
 
-import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 L, H, DH = 30, 32, 128
 S = int(sys.argv[1]) if len(sys.argv) > 1 else 704
