@@ -414,35 +414,12 @@ def bench_score(preset: str) -> None:
 
 def _require_live_backend(timeout_s: int = 900) -> None:
     """Fail fast (exit 2, no JSON on stdout) if the backend is
-    unreachable.  The tunneled TPU can go down for hours with
-    ``jax.devices()`` hanging forever — without this probe a bench
-    invocation (e.g. the driver's end-of-round run) blocks its whole
-    budget instead of reporting the outage.  OSPO_BENCH_PROBE_S
-    overrides; 0 disables."""
-    import threading
+    unreachable — see ``platform.require_live_backend``.
+    ``OSPO_BENCH_PROBE_S`` overrides the 15-min default; 0 disables."""
+    from ospo_tpu.platform import require_live_backend
 
-    timeout_s = int(os.environ.get("OSPO_BENCH_PROBE_S", timeout_s))
-    if timeout_s <= 0:
-        return
-    done = threading.Event()
-    info = {}
-
-    def probe():
-        import jax
-        import jax.numpy as jnp
-
-        info["devices"] = jax.devices()
-        jax.block_until_ready(
-            jax.jit(lambda x: (x @ x).sum())(jnp.ones((8, 8))))
-        done.set()
-
-    threading.Thread(target=probe, daemon=True).start()
-    if not done.wait(timeout_s):
-        print(f"# FATAL: backend unreachable — device probe did not "
-              f"complete within {timeout_s}s "
-              f"(devices seen: {info.get('devices')})", file=sys.stderr)
-        sys.stderr.flush()
-        os._exit(2)
+    require_live_backend(int(os.environ.get("OSPO_BENCH_PROBE_S",
+                                            timeout_s)))
 
 
 def main() -> None:

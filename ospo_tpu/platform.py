@@ -70,6 +70,38 @@ def maybe_init_distributed() -> None:
           f"/{kwargs['num_processes']} @ {coord}", flush=True)
 
 
+def require_live_backend(timeout_s: int) -> None:
+    """Fail fast (exit 2) when the backend is unreachable.  The tunneled
+    TPU can go down for hours with ``jax.devices()`` hanging forever; a
+    watchdog thread probes devices + a tiny jitted matmul and aborts
+    with a clear message at the deadline instead of blocking a run's
+    whole time budget.  ``timeout_s <= 0`` disables."""
+    if timeout_s <= 0:
+        return
+    import sys
+    import threading
+
+    done = threading.Event()
+    info = {}
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        info["devices"] = jax.devices()
+        jax.block_until_ready(
+            jax.jit(lambda x: (x @ x).sum())(jnp.ones((8, 8))))
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"# FATAL: backend unreachable — device probe did not "
+              f"complete within {timeout_s}s "
+              f"(devices seen: {info.get('devices')})", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(2)
+
+
 def apply_platform_env(compile_cache: bool = True) -> None:
     if compile_cache:
         enable_compilation_cache()
@@ -86,3 +118,7 @@ def apply_platform_env(compile_cache: bool = True) -> None:
                 jax.config.update("jax_num_cpu_devices", n)
     # after platform selection, before any backend initialises
     maybe_init_distributed()
+    # opt-in startup probe for pipeline CLIs (bench always probes):
+    # OSPO_STARTUP_PROBE_S=600 makes a run on a dead tunnel fail fast
+    # instead of hanging at the first device touch
+    require_live_backend(int(os.environ.get("OSPO_STARTUP_PROBE_S", "0")))
