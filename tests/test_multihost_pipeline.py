@@ -124,3 +124,50 @@ def test_two_process_step4_launcher(tmp_path):
     train = json.load(open(tmp_path / "step4" / "train.json"))
     assert isinstance(train, list)  # may be empty under a random model
     assert len({r["item_id"] for r in train}) == len(train)  # deduped
+
+
+@pytest.mark.slow
+def test_two_process_step3_launcher(tmp_path):
+    """2-process step 3 (the round's dominant stage): each process
+    CFG-decodes its strided item shard and writes its own PNG subtree —
+    together they must cover every (item, kind, seed) exactly once."""
+    items = json.load(open(os.path.join(
+        FIXTURES, "step2", "long_prompt.json")))[:2]
+
+    cfg = tmp_path / "step3.yaml"
+    cfg.write_text(
+        "seed: 42\n"
+        "seed_list: [0,1,2]\n"
+        "batch_size: 2\n"
+        "e_idx: 2\n"
+        f"data_path: {os.path.join(FIXTURES, 'step2', 'long_prompt.json')}\n"
+        f"save_path: {tmp_path / 'step3'}\n"
+        "model_preset: tiny\n"
+        "generation_config:\n"
+        "  temperature: 1.0\n"
+        "  cfg_weight: 5.0\n"
+    )
+    env = dict(os.environ)
+    env["OSPO_PLATFORM"] = "cpu"
+    env["OSPO_COORD_PORT"] = str(_free_port())
+    env["OSPO_COMPILE_CACHE"] = "off"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        ["bash", LAUNCHER, "2", "ospo_tpu.pipeline.step3",
+         "--cfg_path", str(cfg)],
+        env=env, cwd=REPO, capture_output=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout.decode() + proc.stderr.decode()
+
+    for rec in items:
+        for kind in ("base", "negative"):
+            d = (tmp_path / "step3" / kind / rec["category"]
+                 / rec["item_id"])
+            prompts = rec["long_prompt" if kind == "base"
+                          else "negative_long_prompt"]
+            expected = sorted(f"{i:02d}.png" for i in range(3)
+                              if prompts[i])
+            assert sorted(p.name for p in d.glob("*.png")) == expected, d
+            assert (d / "metadata.json").exists()
