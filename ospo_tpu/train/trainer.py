@@ -149,6 +149,21 @@ class SimPOTrainer:
                 k: v for k, v in model.params.items()
                 if k not in self.trainable_keys
             }
+        # serving/train mesh from the factory (`tensor_parallel` /
+        # `data_parallel` in the model config): shard the trainable tree
+        # up front so the optimizer state inherits the layouts; batches
+        # shard on 'data' in fit().  dryrun/test paths that shard
+        # externally are unaffected (re-sharding is idempotent).
+        self.mesh = getattr(model, "mesh", None)
+        if self.mesh is not None:
+            from ospo_tpu.parallel import mesh as mesh_lib
+
+            if self.use_peft:
+                self.trainable = mesh_lib.shard_lora_params(
+                    self.trainable, self.mesh)
+            else:
+                self.trainable = mesh_lib.shard_trainable_params(
+                    self.trainable, self.mesh)
         self.opt_state = self.tx.init(self.trainable)
         self.global_step = 0
         # training attention: XLA by default (at SimPO's ~640-token sequences
@@ -270,6 +285,13 @@ class SimPOTrainer:
     def resume(self, ckpt_path: str) -> None:
         tree, lora_cfg, step, opt_flat = ckpt_lib.load_checkpoint(ckpt_path)
         self.trainable = jax.tree.map(jnp.asarray, tree)
+        if self.mesh is not None:
+            from ospo_tpu.parallel import mesh as mesh_lib
+
+            self.trainable = (
+                mesh_lib.shard_lora_params(self.trainable, self.mesh)
+                if self.use_peft else
+                mesh_lib.shard_trainable_params(self.trainable, self.mesh))
         if self.use_peft:
             self.lora_cfg = lora_cfg
         self.global_step = step
@@ -327,12 +349,20 @@ class SimPOTrainer:
             )):
                 if self.global_step >= self.max_steps:
                     break
+                arrs = {k: batch[k] for k in (
+                    "text_ids", "text_mask",
+                    "chosen_pixels", "rejected_pixels")}
+                from ospo_tpu.parallel import mesh as mesh_lib
+
+                if self.mesh is not None and len(batch_items) % \
+                        mesh_lib.data_parallel_size(self.mesh) == 0:
+                    arrs = mesh_lib.shard_batch(arrs, self.mesh)
+                else:  # ragged final batch: let GSPMD place it
+                    arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
                 self.trainable, self.opt_state, metrics = self._step(
                     self.trainable, self.opt_state,
-                    jnp.asarray(batch["text_ids"]),
-                    jnp.asarray(batch["text_mask"]),
-                    jnp.asarray(batch["chosen_pixels"]),
-                    jnp.asarray(batch["rejected_pixels"]),
+                    arrs["text_ids"], arrs["text_mask"],
+                    arrs["chosen_pixels"], arrs["rejected_pixels"],
                     rng=jax.random.fold_in(
                         jax.random.PRNGKey(self.seed), self.global_step
                     ),

@@ -243,3 +243,52 @@ def test_text_engine_mesh_matches_single_device(serving_setup):
     out = TextGenEngine(sharded, proc, max_new_tokens=8,
                         mesh=mesh).generate_ids(prompts, seed=5)
     np.testing.assert_array_equal(ref, out)
+
+
+def test_trainer_autoshards_from_factory_mesh(tmp_path):
+    """A model carrying ``model.mesh`` (what the factory sets under
+    `tensor_parallel`/`data_parallel` configs) makes SimPOTrainer shard
+    its LoRA tree + optimizer state and its batches itself — the step-5
+    CLI path.  One step's loss must match the unsharded trainer."""
+    from ospo_tpu.config import Config
+    from ospo_tpu.image_processing import ImageProcessor
+    from ospo_tpu.processing import Processor
+    from ospo_tpu.tokenizer import ByteTokenizer
+    from ospo_tpu.train.trainer import SimPOTrainer
+    from test_full_finetune import fake_batch
+
+    cfg = janus_lib.tiny_janus_config()
+
+    def build(name):
+        model = janus_lib.JanusModel.init(cfg, seed=0)
+        tok = ByteTokenizer(vocab_size=cfg.language.vocab_size)
+        proc = Processor(tok, ImageProcessor(image_size=cfg.gen_image_size),
+                         num_image_tokens=cfg.num_image_tokens)
+        config = Config.from_nested({
+            "base": {"save_path": str(tmp_path / name), "exp_name": name},
+            "use_peft": True,
+            "lora": {"lora_rank": 4, "lora_alpha": 8, "lora_dropout": 0.0},
+            "optimizer": {"init_lr": 1e-3, "scheduler_type": "constant"},
+            "experiment": {"seed": 0, "max_training_steps": 2,
+                           "log_steps": 1, "gradient_checkpointing": False},
+            "algo": {"beta": 10, "gamma_beta_ratio": 0.5},
+        })
+        return model, config, proc
+
+    model_ref, config_ref, proc_ref = build("ref")
+    t_ref = SimPOTrainer(config_ref, model_ref, proc_ref)
+    batch = fake_batch(cfg, b=4)
+    _, _, m_ref = t_ref._step(t_ref.trainable, t_ref.opt_state, **batch)
+
+    model_sh, config_sh, proc_sh = build("sh")
+    mesh = mesh_lib.create_mesh(n_devices=8, model_parallel=2)
+    model_sh.params = mesh_lib.shard_janus_params(model_sh.params, mesh)
+    model_sh.mesh = mesh
+    t_sh = SimPOTrainer(config_sh, model_sh, proc_sh)
+    assert t_sh.mesh is mesh
+    sbatch = mesh_lib.shard_batch(batch, mesh)
+    with mesh:
+        _, _, m_sh = t_sh._step(t_sh.trainable, t_sh.opt_state, **sbatch)
+
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
+                               atol=1e-5, rtol=1e-5)
