@@ -423,11 +423,14 @@ def _require_live_backend(timeout_s: int = 900) -> None:
 
 
 def main() -> None:
-    from ospo_tpu.platform import enable_compilation_cache
+    from ospo_tpu.platform import apply_platform_env
 
-    # persistent compile cache: repeat bench invocations skip the
-    # 160-600 s remote cold compiles (OSPO_COMPILE_CACHE=off to disable)
-    enable_compilation_cache()
+    # persistent compile cache (repeat bench invocations skip the
+    # 160-600 s remote cold compiles; OSPO_COMPILE_CACHE=off disables)
+    # + the OSPO_PLATFORM override, applied BEFORE the liveness probe so
+    # `OSPO_PLATFORM=cpu python bench.py` checks plumbing without ever
+    # touching the (possibly dead) tunneled backend
+    apply_platform_env()
     _require_live_backend()
     preset = os.environ.get("OSPO_BENCH_PRESET", "7b")
     mode = os.environ.get("OSPO_BENCH_MODE")

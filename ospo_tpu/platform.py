@@ -85,19 +85,30 @@ def require_live_backend(timeout_s: int) -> None:
     info = {}
 
     def probe():
+        import time
+
         import jax
         import jax.numpy as jnp
 
-        info["devices"] = jax.devices()
-        jax.block_until_ready(
-            jax.jit(lambda x: (x @ x).sum())(jnp.ones((8, 8))))
-        done.set()
+        # a hang (dead tunnel) blocks inside jax.devices() until the
+        # deadline; a RAISE (transient RPC error while the tunnel flaps)
+        # is retried so a momentary failure doesn't burn the whole window
+        while not done.is_set():
+            try:
+                info["devices"] = jax.devices()
+                jax.block_until_ready(
+                    jax.jit(lambda x: (x @ x).sum())(jnp.ones((8, 8))))
+                done.set()
+            except Exception as e:  # noqa: BLE001 — deadline reports it
+                info["error"] = f"{type(e).__name__}: {e}"
+                time.sleep(10)
 
     threading.Thread(target=probe, daemon=True).start()
     if not done.wait(timeout_s):
         print(f"# FATAL: backend unreachable — device probe did not "
               f"complete within {timeout_s}s "
-              f"(devices seen: {info.get('devices')})", file=sys.stderr)
+              f"(devices seen: {info.get('devices')}, "
+              f"last error: {info.get('error')})", file=sys.stderr)
         sys.stderr.flush()
         os._exit(2)
 
