@@ -152,17 +152,30 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
 
     # optional in-process parallelism: shard the weights over a
     # (data, model) mesh; engines pick the mesh up via ``model.mesh`` and
-    # shard their batches on the data axis (multi-PROCESS data
-    # parallelism is orthogonal — scripts/run_multihost.sh)
+    # shard their batches on the data axis.  Under the multi-process
+    # launcher (scripts/run_multihost.sh) the scope matters: generation
+    # steps shard the ITEM LIST per process, so their mesh must span only
+    # this process's local chips (``mesh_scope: local``, the default —
+    # identical to the whole mesh in single-process runs), while step-5
+    # training shards one global batch over every process's chips
+    # (``mesh_scope: global``, set by step5).
     tp = int(config.get("tensor_parallel") or 1)
     dp = int(config.get("data_parallel") or 0)
     model.mesh = None
     if tp > 1 or dp > 1:
+        import jax
+
         from ospo_tpu.parallel import mesh as mesh_lib
 
+        scope = config.get("mesh_scope") or "local"
+        if scope not in ("local", "global"):
+            raise ValueError(f"mesh_scope must be local|global, got {scope!r}")
+        devices = (jax.devices() if scope == "global"
+                   else jax.local_devices())
         n = (dp * tp) if dp else None
-        mesh = mesh_lib.create_mesh(n_devices=n, model_parallel=tp)
-        print(f"# Sharding params over mesh {dict(mesh.shape)}.")
+        mesh = mesh_lib.create_mesh(n_devices=n, model_parallel=tp,
+                                    devices=devices)
+        print(f"# Sharding params over {scope} mesh {dict(mesh.shape)}.")
         model.params = mesh_lib.shard_janus_params(model.params, mesh)
         model.mesh = mesh
 

@@ -29,6 +29,10 @@ def main(config) -> None:
     model_cfg = dict(config.model or {})
     model_cfg.setdefault("model_preset", config.get("model_preset"))
     model_cfg.setdefault("seed", exp.get("seed", 42))
+    # training shards ONE global batch over every process's chips — the
+    # factory mesh must span the whole jax.distributed world (generation
+    # steps keep the per-process 'local' default; see model_factory)
+    model_cfg.setdefault("mesh_scope", "global")
     from ospo_tpu.config import Config
 
     model, tokenizer, processor = get_model(Config.from_nested(model_cfg))

@@ -164,6 +164,21 @@ class SimPOTrainer:
             else:
                 self.trainable = mesh_lib.shard_trainable_params(
                     self.trainable, self.mesh)
+        # multi-process (multi-host pod) training: every process runs this
+        # same trainer over the SAME dataset order (seeded), builds the
+        # identical global batch, and shards it over the global mesh —
+        # GSPMD then all-reduces the gradients over ICI/DCN.  This is the
+        # reference's Lightning-DDP train contract (ospo/utils/train.py)
+        # expressed as one global (data, model) mesh; launch via
+        # scripts/run_multihost.sh.
+        self.n_proc = jax.process_count()
+        self.is_main = jax.process_index() == 0
+        if self.n_proc > 1 and self.mesh is None:
+            raise ValueError(
+                "multi-process training needs a global device mesh: set "
+                "model.data_parallel (and optionally model.tensor_parallel) "
+                "so the factory shards the weights over all processes' "
+                "devices")
         self.opt_state = self.tx.init(self.trainable)
         self.global_step = 0
         # training attention: XLA by default (at SimPO's ~640-token sequences
@@ -300,10 +315,30 @@ class SimPOTrainer:
             self.opt_state = ckpt_lib.apply_flat(self.opt_state, opt_flat)
         print(f"# Resumed from {ckpt_path} at step {step}.")
 
+    def _replicated(self, tree):
+        """All-gather a cross-process-sharded tree into full per-process
+        replicas (a jitted identity with replicated out-shardings) so the
+        host can serialize it — one full copy per device, fine at LoRA /
+        trainable-subtree sizes."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        return jax.jit(
+            lambda t: t,
+            out_shardings=jax.tree.map(lambda _: rep, tree))(tree)
+
     def save(self) -> str:
+        trainable, opt_state = self.trainable, self.opt_state
+        if self.n_proc > 1:
+            # collective: every process participates in the gather, only
+            # process 0 touches the filesystem
+            trainable = self._replicated(trainable)
+            opt_state = self._replicated(opt_state)
+            if not self.is_main:
+                return ""
         path = ckpt_lib.save_checkpoint(
-            self.log_dir, self.global_step, self.trainable, self.lora_cfg,
-            opt_state=self.opt_state,
+            self.log_dir, self.global_step, trainable, self.lora_cfg,
+            opt_state=opt_state,
             mode="lora" if self.use_peft else "full",
         )
         print(f"# Saved checkpoint: {path}")
@@ -311,7 +346,8 @@ class SimPOTrainer:
 
     def fit(self, dataset: PreferenceDataset, batch_size: int,
             max_epochs: int = 1) -> Dict[str, float]:
-        save_config(self.log_dir, self.config)
+        if self.is_main:
+            save_config(self.log_dir, self.config)
         last_metrics: Dict[str, float] = {}
         t0 = time.time()
         samples = 0
@@ -354,8 +390,19 @@ class SimPOTrainer:
                     "chosen_pixels", "rejected_pixels")}
                 from ospo_tpu.parallel import mesh as mesh_lib
 
-                if self.mesh is not None and len(batch_items) % \
-                        mesh_lib.data_parallel_size(self.mesh) == 0:
+                rem = (len(batch_items) % mesh_lib.data_parallel_size(
+                    self.mesh) if self.mesh is not None else 0)
+                if rem and self.n_proc > 1:
+                    # a process-local array can't express a global batch,
+                    # so a ragged final batch is padded by repeating its
+                    # last row (DistributedSampler-style duplication; only
+                    # that batch's mean loss is slightly reweighted)
+                    pad = mesh_lib.data_parallel_size(self.mesh) - rem
+                    arrs = {k: np.concatenate(
+                        [v, np.repeat(v[-1:], pad, axis=0)])
+                        for k, v in arrs.items()}
+                    rem = 0
+                if self.mesh is not None and rem == 0:
                     arrs = mesh_lib.shard_batch(arrs, self.mesh)
                 else:  # ragged final batch: let GSPMD place it
                     arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
@@ -370,7 +417,8 @@ class SimPOTrainer:
                 self.global_step += 1
                 samples += len(batch_items)
 
-                if self.global_step % self.log_steps == 0 or self.global_step == 1:
+                if (self.global_step % self.log_steps == 0
+                        or self.global_step == 1) and self.is_main:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     metrics["lr"] = self._lr_fn(self.global_step)
                     metrics["samples_per_sec"] = samples / (time.time() - t0)

@@ -127,6 +127,85 @@ def test_two_process_step4_launcher(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_step5_launcher(tmp_path):
+    """2-process step 5 (SimPO training): both processes build the SAME
+    global batch and shard it over a 2-device global mesh — the
+    Lightning-DDP train contract (ospo/utils/train.py) as one GSPMD
+    mesh.  The final LoRA checkpoint (written by process 0 only, after a
+    collective gather) must numerically match a single-process unsharded
+    run of the identical config."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    records = []
+    for i in range(4):
+        d = tmp_path / "step3" / "base" / "attribute" / f"{i:07d}"
+        d.mkdir(parents=True)
+        for j, kind in enumerate(("chosen", "rejected")):
+            Image.fromarray(rng.uniform(0, 255, (32, 32, 3)).astype(
+                "uint8")).save(d / f"{j:02d}.png")
+        records.append({
+            "item_id": f"{i:07d}", "category": "attribute",
+            "prompt": f"a photo of object {i}",
+            "chosen": str(d / "00.png"), "rejected": str(d / "01.png"),
+        })
+    (tmp_path / "train.json").write_text(json.dumps(records))
+
+    def cfg_text(save, dp):
+        model = "model:\n  model_preset: tiny\n"
+        if dp:
+            model += f"  data_parallel: {dp}\n"
+        return (
+            "base:\n"
+            f"  save_path: {save}\n"
+            "  exp_name: mh\n"
+            + model +
+            "use_peft: True\n"
+            "lora:\n  lora_rank: 4\n  lora_alpha: 8\n  lora_dropout: 0.0\n"
+            "dataset:\n  train:\n    batch_size: 2\n"
+            f"    data_path: {tmp_path / 'train.json'}\n"
+            "optimizer:\n  init_lr: 1e-3\n  scheduler_type: constant\n"
+            "experiment:\n  seed: 0\n  max_training_steps: 3\n"
+            "  max_epochs: 2\n  log_steps: 1\n"
+            "  gradient_checkpointing: False\n"
+            "algo:\n  beta: 10\n  gamma_beta_ratio: 0.5\n"
+        )
+
+    env = dict(os.environ)
+    env["OSPO_PLATFORM"] = "cpu"
+    env["OSPO_COMPILE_CACHE"] = "off"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    cfg_sh = tmp_path / "step5_sh.yaml"
+    cfg_sh.write_text(cfg_text(tmp_path / "out_sh", dp=2))
+    env_sh = dict(env, OSPO_COORD_PORT=str(_free_port()))
+    proc = subprocess.run(
+        ["bash", LAUNCHER, "2", "ospo_tpu.pipeline.step5",
+         "--cfg_path", str(cfg_sh)],
+        env=env_sh, cwd=REPO, capture_output=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout.decode() + proc.stderr.decode()
+
+    cfg_ref = tmp_path / "step5_ref.yaml"
+    cfg_ref.write_text(cfg_text(tmp_path / "out_ref", dp=0))
+    proc = subprocess.run(
+        [sys.executable, "-m", "ospo_tpu.pipeline.step5",
+         "--cfg_path", str(cfg_ref)],
+        env=env, cwd=REPO, capture_output=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout.decode() + proc.stderr.decode()
+
+    sh = np.load(tmp_path / "out_sh" / "mh" / "step_000003" / "lora.npz")
+    ref = np.load(tmp_path / "out_ref" / "mh" / "step_000003" / "lora.npz")
+    assert sorted(sh.files) == sorted(ref.files)
+    for k in ref.files:
+        np.testing.assert_allclose(sh[k], ref[k], atol=1e-5, rtol=1e-4,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
 def test_two_process_step3_launcher(tmp_path):
     """2-process step 3 (the round's dominant stage): each process
     CFG-decodes its strided item shard and writes its own PNG subtree —
