@@ -14,6 +14,11 @@
 #   OSPO_PLATFORM=cpu scripts/run_multihost.sh 2 ospo_tpu.pipeline.step2 \
 #       --cfg_path configs/step2.yaml
 #
+# Step 5 (training) also runs under this launcher: every process builds
+# the identical seeded global batch and shards it over a GLOBAL
+# (data, model) mesh (pass model.data_parallel=<total chips>); GSPMD
+# all-reduces the gradients and process 0 writes checkpoints.
+#
 # Real multi-host TPU pods: run ONE process per host through your
 # scheduler with the same variables set per host —
 #   OSPO_COORDINATOR=<host0-addr>:12355 OSPO_NUM_PROCESSES=<hosts> \
