@@ -145,11 +145,24 @@ def janus_param_specs(params: Dict) -> Dict[str, Any]:
     return specs
 
 
+def _put(x, sharding: NamedSharding):
+    """device_put that also accepts COMMITTED device arrays headed for a
+    cross-process (non-addressable) sharding: jax only allows host values
+    and uncommitted arrays there, so committed leaves (e.g. the factory's
+    post-load quantize jit outputs) take a host round-trip — every
+    process holds the identical value, which is exactly the multi-process
+    device_put contract."""
+    if (isinstance(x, jax.Array) and getattr(x, "committed", False)
+            and not sharding.is_fully_addressable):
+        x = np.asarray(x)
+    return jax.device_put(x, sharding)
+
+
 def shard_janus_params(params: Dict, mesh: Mesh) -> Dict:
     """device_put the full Janus tree with TP rules over ``mesh``."""
     specs = janus_param_specs(params)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+        lambda x, s: _put(x, NamedSharding(mesh, s)), params, specs
     )
 
 
@@ -161,14 +174,14 @@ def shard_trainable_params(trainable: Dict, mesh: Mesh) -> Dict:
     specs = _align_quant_specs(
         trainable, {k: _module_specs(k, v) for k, v in trainable.items()})
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), trainable, specs
+        lambda x, s: _put(x, NamedSharding(mesh, s)), trainable, specs
     )
 
 
 def shard_lora_params(lora_tree: Dict, mesh: Mesh) -> Dict:
     specs = lora_param_specs(lora_tree)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), lora_tree, specs
+        lambda x, s: _put(x, NamedSharding(mesh, s)), lora_tree, specs
     )
 
 
@@ -177,7 +190,7 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
     def put(x):
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1))) if x.ndim else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, batch)
 
@@ -196,9 +209,9 @@ def shard_on_axis(x, mesh: Mesh, axis: int = 0):
     scoring suffixes are [Q, N, T] with the image batch on axis 1)."""
     spec = [None] * x.ndim
     spec[axis] = DATA_AXIS
-    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return _put(x, NamedSharding(mesh, P(*spec)))
 
 
 def replicate(x, mesh: Mesh):
     """device_put fully replicated (rng keys, scalars)."""
-    return jax.device_put(x, NamedSharding(mesh, P()))
+    return _put(x, NamedSharding(mesh, P()))

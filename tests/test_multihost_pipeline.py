@@ -126,6 +126,28 @@ def test_two_process_step4_launcher(tmp_path):
     assert len({r["item_id"] for r in train}) == len(train)  # deduped
 
 
+def test_two_process_quantized_global_shard():
+    """Factory path: quantized (committed jit-output) leaves must still
+    shard onto a GLOBAL mesh — mesh._put host-round-trips them (plain
+    device_put rejects committed arrays for cross-process shardings)."""
+    worker = os.path.join(HERE, "multihost_quant_worker.py")
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(i), "2"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out.decode()
+        assert b"QUANT-GLOBAL-OK" in out
+
+
 @pytest.mark.slow
 def test_two_process_step5_launcher(tmp_path):
     """2-process step 5 (SimPO training): both processes build the SAME
