@@ -378,18 +378,16 @@ def bench_score(preset: str) -> None:
     n_meas = 3
     times = []
     if prefetch:
-        from concurrent.futures import ThreadPoolExecutor
+        from ospo_tpu.utils.prefetch import prefetch_iter
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            nxt = pool.submit(prep_c, group)
-            for i in range(1, n_meas + 2):
-                t0 = time.time()
-                imgs, qs, prep = nxt.result()
-                if i <= n_meas:  # the last iteration consumes, not submits
-                    nxt = pool.submit(prep_c, (i + 1) * group)
-                engine.score_images_multi(imgs, qs, prep=prep)
-                if i > 1:  # first iteration's prep had nothing to hide under
-                    times.append(time.time() - t0)
+        last = None
+        for _, (imgs, qs, prep) in prefetch_iter(
+                [k * group for k in range(1, n_meas + 2)], prep_c):
+            engine.score_images_multi(imgs, qs, prep=prep)
+            now = time.time()
+            if last is not None:  # 1st iteration's prep had nothing to hide under
+                times.append(now - last)
+            last = now
     else:
         for i in range(1, n_meas + 2):
             t0 = time.time()

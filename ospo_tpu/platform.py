@@ -12,6 +12,8 @@ It also enables JAX's persistent compilation cache: cold compiles of the
 serving programs cost 160-600 s through the remote compile endpoint
 (BENCH_NOTES), so every pipeline invocation would otherwise repay them.
 ``OSPO_COMPILE_CACHE`` overrides the location; ``0``/``off`` disables.
+CPU runs skip the cache unless ``OSPO_COMPILE_CACHE`` is set explicitly
+(cross-host CPU AOT reload risks SIGILL; CPU compiles are cheap anyway).
 """
 
 from __future__ import annotations
@@ -24,8 +26,21 @@ DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/ospo_tpu/xla")
 def enable_compilation_cache() -> str | None:
     """Point JAX's persistent compilation cache at a stable directory so
     repeat pipeline invocations skip the multi-minute remote compiles.
-    Returns the cache dir, or None when disabled."""
-    loc = os.environ.get("OSPO_COMPILE_CACHE", DEFAULT_CACHE_DIR)
+    Returns the cache dir, or None when disabled.
+
+    Default-on only for TPU runs: the cache's value is the 160-600 s
+    remote compiles.  CPU compiles are seconds, and XLA:CPU AOT entries
+    bake in the build host's vector ISA — reloading them on a different
+    host risks SIGILL (observed: '+prefer-no-scatter not supported on the
+    host machine' loader errors).  Set OSPO_COMPILE_CACHE explicitly to
+    cache CPU compiles anyway."""
+    loc = os.environ.get("OSPO_COMPILE_CACHE")
+    if loc is None:
+        plat = (os.environ.get("OSPO_PLATFORM")
+                or os.environ.get("JAX_PLATFORMS") or "")
+        if "cpu" in plat.lower():
+            return None
+        loc = DEFAULT_CACHE_DIR
     if loc.lower() in ("0", "off", "none", ""):
         return None
     import jax
@@ -70,13 +85,20 @@ def maybe_init_distributed() -> None:
           f"/{kwargs['num_processes']} @ {coord}", flush=True)
 
 
+_BACKEND_VERIFIED = False
+
+
 def require_live_backend(timeout_s: int) -> None:
     """Fail fast (exit 2) when the backend is unreachable.  The tunneled
     TPU can go down for hours with ``jax.devices()`` hanging forever; a
     watchdog thread probes devices + a tiny jitted matmul and aborts
     with a clear message at the deadline instead of blocking a run's
-    whole time budget.  ``timeout_s <= 0`` disables."""
-    if timeout_s <= 0:
+    whole time budget.  ``timeout_s <= 0`` disables.  Idempotent per
+    process: once a probe has succeeded, later calls return immediately
+    (bench probes unconditionally AND ``apply_platform_env`` probes when
+    ``OSPO_STARTUP_PROBE_S`` is set — one device round-trip is enough)."""
+    global _BACKEND_VERIFIED
+    if timeout_s <= 0 or _BACKEND_VERIFIED:
         return
     import sys
     import threading
@@ -104,7 +126,9 @@ def require_live_backend(timeout_s: int) -> None:
                 time.sleep(10)
 
     threading.Thread(target=probe, daemon=True).start()
-    if not done.wait(timeout_s):
+    if done.wait(timeout_s):
+        _BACKEND_VERIFIED = True
+    else:
         print(f"# FATAL: backend unreachable — device probe did not "
               f"complete within {timeout_s}s "
               f"(devices seen: {info.get('devices')}, "

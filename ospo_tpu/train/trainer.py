@@ -32,6 +32,7 @@ from ospo_tpu.constants import IGNORE_ID
 from ospo_tpu.models import janus as janus_lib
 from ospo_tpu.models import llama as llama_lib
 from ospo_tpu.models import vqgan
+from ospo_tpu.parallel import mesh as mesh_lib
 from ospo_tpu.pipeline.datasets import PreferenceDataset
 from ospo_tpu.train import checkpoint as ckpt_lib
 from ospo_tpu.train import lora as lora_lib
@@ -156,8 +157,6 @@ class SimPOTrainer:
         # externally are unaffected (re-sharding is idempotent).
         self.mesh = getattr(model, "mesh", None)
         if self.mesh is not None:
-            from ospo_tpu.parallel import mesh as mesh_lib
-
             if self.use_peft:
                 self.trainable = mesh_lib.shard_lora_params(
                     self.trainable, self.mesh)
@@ -179,6 +178,15 @@ class SimPOTrainer:
                 "model.data_parallel (and optionally model.tensor_parallel) "
                 "so the factory shards the weights over all processes' "
                 "devices")
+        if self.n_proc > 1 and self.mesh.devices.size != len(jax.devices()):
+            # a per-process (mesh_scope: local) mesh would pass the check
+            # above but silently train the full batch on every process —
+            # N× duplicated compute with no gradient all-reduce
+            raise ValueError(
+                f"multi-process training needs a mesh over ALL "
+                f"{len(jax.devices())} global devices, got one over "
+                f"{self.mesh.devices.size} (a config with "
+                f"model.mesh_scope: local? step 5 requires 'global')")
         self.opt_state = self.tx.init(self.trainable)
         self.global_step = 0
         # training attention: XLA by default (at SimPO's ~640-token sequences
@@ -301,8 +309,6 @@ class SimPOTrainer:
         tree, lora_cfg, step, opt_flat = ckpt_lib.load_checkpoint(ckpt_path)
         self.trainable = jax.tree.map(jnp.asarray, tree)
         if self.mesh is not None:
-            from ospo_tpu.parallel import mesh as mesh_lib
-
             self.trainable = (
                 mesh_lib.shard_lora_params(self.trainable, self.mesh)
                 if self.use_peft else
@@ -355,49 +361,29 @@ class SimPOTrainer:
         # current device step.  The worker owns the dataset iterator, so
         # the expensive part — PreferenceDataset.__getitem__'s PNG decode
         # + image preprocessing, which runs lazily at next() — happens on
-        # the worker too, not just the cheap collate stack.  All of it is
-        # jax-free, so the worker never races the dispatch.
-        from concurrent.futures import ThreadPoolExecutor
+        # the worker too, not just the cheap collate stack.
+        from ospo_tpu.utils.prefetch import prefetch_iter
 
-        pool = ThreadPoolExecutor(max_workers=1)
-
-        def prefetched(it):
-            def pull():
-                items = next(it, None)
-                if items is None:
-                    return None
-                return items, self.collate(items)
-
-            nxt = pool.submit(pull)
-            while True:
-                got = nxt.result()
-                if got is None:
-                    return
-                nxt = pool.submit(pull)
-                yield got
-
-        try:
-          for epoch in range(max_epochs):
+        dp = (mesh_lib.data_parallel_size(self.mesh)
+              if self.mesh is not None else 1)
+        for epoch in range(max_epochs):
             if self.global_step >= self.max_steps:
                 break  # don't decode a prefetch batch for a no-op epoch
-            for batch_items, batch in prefetched(dataset.iter_batches(
+            for batch_items, batch in prefetch_iter(dataset.iter_batches(
                 batch_size, shuffle=True, seed=self.seed + epoch
-            )):
+            ), self.collate):
                 if self.global_step >= self.max_steps:
                     break
                 arrs = {k: batch[k] for k in (
                     "text_ids", "text_mask",
                     "chosen_pixels", "rejected_pixels")}
-                from ospo_tpu.parallel import mesh as mesh_lib
-
-                rem = (len(batch_items) % mesh_lib.data_parallel_size(
-                    self.mesh) if self.mesh is not None else 0)
+                rem = len(batch_items) % dp
                 if rem and self.n_proc > 1:
                     # a process-local array can't express a global batch,
                     # so a ragged final batch is padded by repeating its
                     # last row (DistributedSampler-style duplication; only
                     # that batch's mean loss is slightly reweighted)
-                    pad = mesh_lib.data_parallel_size(self.mesh) - rem
+                    pad = dp - rem
                     arrs = {k: np.concatenate(
                         [v, np.repeat(v[-1:], pad, axis=0)])
                         for k, v in arrs.items()}
@@ -435,8 +421,6 @@ class SimPOTrainer:
 
                 if self.save_steps and self.global_step % int(self.save_steps) == 0:
                     self.save()
-        finally:
-            pool.shutdown(wait=False, cancel_futures=True)
         self.save()
         if self._writer is not None:
             self._writer.flush()

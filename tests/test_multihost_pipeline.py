@@ -142,10 +142,17 @@ def test_two_process_quantized_global_shard():
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)
     ]
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        assert p.returncode == 0, out.decode()
-        assert b"QUANT-GLOBAL-OK" in out
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            assert p.returncode == 0, out.decode()
+            assert b"QUANT-GLOBAL-OK" in out
+    finally:
+        # a wedged worker (or one peer's assert) must not orphan the
+        # other: it would block on the dead coordinator forever
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
 
 
 @pytest.mark.slow

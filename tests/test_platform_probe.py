@@ -15,7 +15,22 @@ def test_probe_returns_on_live_backend():
     platform.require_live_backend(60)  # would os._exit(2) on failure
 
 
+def test_probe_is_idempotent_after_success(monkeypatch):
+    """Once one probe succeeded, later calls must not touch the backend
+    again (bench probes unconditionally AND apply_platform_env probes
+    under OSPO_STARTUP_PROBE_S — only one round-trip should happen)."""
+    platform.require_live_backend(60)
+    assert platform._BACKEND_VERIFIED
+
+    def exploding_devices(*a, **kw):
+        raise AssertionError("probe ran despite prior success")
+
+    monkeypatch.setattr(jax, "devices", exploding_devices)
+    platform.require_live_backend(60)  # must return without probing
+
+
 def test_probe_retries_transient_raise(monkeypatch):
+    monkeypatch.setattr(platform, "_BACKEND_VERIFIED", False)
     real_devices = jax.devices
     calls = {"n": 0}
 
