@@ -69,8 +69,12 @@ class ImageGenEngine:
         # HBM stream at large batch (cache reads exceed weight reads past
         # ~4 CFG pairs); "int4" quarters it (two heads packed per byte —
         # llama._quantize_rows_int4), raising the OOM-bound serving batch
-        # at a quality cost bounded by tests/test_kv_quant.py
-        self.kv_quant = kv_quant
+        # at a quality cost bounded by tests/test_kv_quant.py.  Spellings
+        # validate loudly (parse_kv_quant): "INT4"/"int_8"/"yes" must not
+        # silently become an int8 cache at int4-tuned batch sizes
+        from ospo_tpu.ops.quant import parse_kv_quant
+
+        self.kv_quant = parse_kv_quant(kv_quant)
         # segmented decode: the 576-step loop runs as N scans with growing
         # attention windows, so early segments read only a prefix of the
         # cache. Effectiveness is layout-dependent (the window slice must
@@ -98,12 +102,12 @@ class ImageGenEngine:
             assert self.kv_layout == "shbd", "decode_kernel needs shbd"
             assert not self.speculative, \
                 "decode_kernel does not support speculative decoding"
-            assert kv_quant != "int4", \
+            assert self.kv_quant != "int4", \
                 "decode_kernel reads the int8 cache representation"
         if self.speculative:
             assert self.kv_layout != "shbd", \
                 "speculative decoding needs per-row offsets (bshd/bhsd)"
-            assert kv_quant != "int4", \
+            assert self.kv_quant != "int4", \
                 "int4 KV does not support per-row offsets (SJD)"
         # multi-device serving: a (data, model) Mesh whose params the
         # caller sharded via parallel.mesh.shard_janus_params.  The engine
@@ -150,12 +154,20 @@ class ImageGenEngine:
     # ------------------------------------------------------------------
     # jitted core
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _generate_tokens(self, params, tokens, attn_mask, rng,
-                         cfg_weight, temperature):
+    def _segmented_decode(self, params, tokens, attn_mask, step_fn,
+                          keys=None):
+        """ONE serving decode loop shared by sampling and the
+        teacher-forced probe: prompt prefill into the KV cache, then
+        ``n_img`` steps under ``decode_segments`` growing attention
+        windows.  ``step_fn(hidden_last, step, key, prompt_len) →
+        (emit, embeds, pos)`` defines what each step emits (token [B] or
+        logits [B, V], stacked along axis 1) and what it feeds next;
+        ``keys`` (optional [n_img] rng keys) are threaded per step.
+        Sharing the scaffold keeps the quality probe measuring EXACTLY
+        the program that serves (same segment bounds, window rounding,
+        s_max alignment, layout/quantization)."""
         cfg = self.model.cfg
         two_b, t_prompt = tokens.shape
-        b = two_b // 2
         n_img = self.image_token_num
         s_max = t_prompt + n_img
         if self.decode_kernel:  # kernel DMA blocks need a 64-aligned window
@@ -184,36 +196,23 @@ class ImageGenEngine:
             axis=-1,
         )
 
-        def sample_step(hidden_last, kv, step, key):
-            logits = janus_lib.gen_logits(params, hidden_last[:, None, :])[:, 0]
-            cond, uncond = logits[:b], logits[b:]
-            fused = uncond + cfg_weight * (cond - uncond)
-            next_tok = jax.random.categorical(
-                key, fused / jnp.maximum(temperature, 1e-6)
-            )                                                  # [B]
-            both = jnp.concatenate([next_tok, next_tok])       # [2B]
-            embeds = janus_lib.prepare_gen_img_embeds(params, cfg, both[:, None])
-            pos = (prompt_len + step)[:, None]                  # [2B, 1]
-            return next_tok, both, embeds, pos
-
-        keys = jax.random.split(rng, n_img)
-
-        # first token comes from the prefill's last hidden state
-        tok0, _, embeds, pos = sample_step(hidden[:, -1], kv, 0, keys[0])
+        # first step runs off the prefill's last hidden state
+        emit0, embeds, pos = step_fn(
+            hidden[:, -1], 0, None if keys is None else keys[0], prompt_len)
 
         def make_body(window):
-            def body(carry, key_step):
+            def body(carry, xs):
                 kv, embeds, pos = carry
-                key, step = key_step
+                key, step = xs if keys is not None else (None, xs)
                 hidden, kv = janus_lib.language_forward(
                     params, cfg, embeds, window_mask[:, :window], pos,
                     kv_cache=kv, attn_window=window,
                     decode_kernel=self.decode_kernel,
                     cache_layout=self.kv_layout,
                 )
-                next_tok, _, embeds, pos = sample_step(
-                    hidden[:, -1], kv, step, key)
-                return (kv, embeds, pos), next_tok
+                emit, embeds, pos = step_fn(hidden[:, -1], step, key,
+                                            prompt_len)
+                return (kv, embeds, pos), emit
 
             return body
 
@@ -221,7 +220,7 @@ class ImageGenEngine:
         n_seg = min(self.decode_segments, max(1, (n_img - 1) // 64))
         bounds = [1 + (n_img - 1) * (s + 1) // n_seg for s in range(n_seg)]
         carry = (kv, embeds, pos)
-        outs = [tok0[:, None]]
+        outs = [emit0[:, None]]
         start = 1
         for end in bounds:
             if end <= start:
@@ -231,96 +230,63 @@ class ImageGenEngine:
             # its mask/window always span the whole cache
             window = s_max if self.decode_kernel else \
                 min(s_max, ((t_prompt + end + 63) // 64) * 64)
-            carry, seg_toks = jax.lax.scan(
+            steps = jnp.arange(start, end, dtype=jnp.int32)
+            carry, seg = jax.lax.scan(
                 make_body(window), carry,
-                (keys[start:end], jnp.arange(start, end, dtype=jnp.int32)),
+                (keys[start:end], steps) if keys is not None else steps,
             )
-            outs.append(seg_toks.T)
+            outs.append(jnp.moveaxis(seg, 0, 1))
             start = end
         return jnp.concatenate(outs, axis=1)
 
     @functools.partial(jax.jit, static_argnums=(0,))
+    def _generate_tokens(self, params, tokens, attn_mask, rng,
+                         cfg_weight, temperature):
+        cfg = self.model.cfg
+        b = tokens.shape[0] // 2
+
+        def sample_step(hidden_last, step, key, prompt_len):
+            logits = janus_lib.gen_logits(params, hidden_last[:, None, :])[:, 0]
+            cond, uncond = logits[:b], logits[b:]
+            fused = uncond + cfg_weight * (cond - uncond)
+            next_tok = jax.random.categorical(
+                key, fused / jnp.maximum(temperature, 1e-6)
+            )                                                  # [B]
+            both = jnp.concatenate([next_tok, next_tok])       # [2B]
+            embeds = janus_lib.prepare_gen_img_embeds(params, cfg, both[:, None])
+            pos = (prompt_len + step)[:, None]                  # [2B, 1]
+            return next_tok, embeds, pos
+
+        keys = jax.random.split(rng, self.image_token_num)
+        return self._segmented_decode(params, tokens, attn_mask,
+                                      sample_step, keys=keys)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
     def _forced_cfg_logits(self, params, tokens, attn_mask, forced,
                            cfg_weight):
-        """Teacher-forced CFG decode: run the SAME cached decode loop as
-        ``_generate_tokens`` (same KV layout/quantization/segmentation)
-        but feed the provided ``forced`` image tokens [B, n_img] instead
-        of sampling, and return the fused CFG logits at every step
+        """Teacher-forced CFG decode: the SAME cached decode loop as
+        ``_generate_tokens`` (shared ``_segmented_decode`` scaffold — KV
+        layout/quantization/segmentation identical by construction) but
+        feeding the provided ``forced`` image tokens [B, n_img] instead
+        of sampling, returning the fused CFG logits at every step
         [B, n_img, V].  This is the decode-divergence probe: comparing
         bf16-cache vs int8/int4-cache engines teacher-forced on one token
         sequence isolates the quantization error per step (the serving
         quality gate for ``kv_quant`` — scripts/validate_weights.py)."""
         cfg = self.model.cfg
-        two_b, t_prompt = tokens.shape
-        b = two_b // 2
-        n_img = self.image_token_num
-        s_max = t_prompt + n_img
-        if self.decode_kernel:
-            s_max = ((s_max + 63) // 64) * 64
+        b = tokens.shape[0] // 2
 
-        inputs_embeds = janus_lib.embed_text(params, tokens)
-        positions = llama.positions_from_mask(attn_mask)
-        kv = llama.init_kv_cache(cfg.language, two_b, s_max,
-                                 quantized=self.kv_quant,
-                                 layout=self.kv_layout)
-        hidden, kv = janus_lib.language_forward(
-            params, cfg, inputs_embeds, attn_mask, positions,
-            kv_cache=kv, self_attn=True, cache_layout=self.kv_layout,
-        )
-        prompt_len = jnp.sum(attn_mask, axis=-1)
-        window_mask = jnp.concatenate(
-            [attn_mask, jnp.ones((two_b, n_img), attn_mask.dtype),
-             jnp.zeros((two_b, s_max - t_prompt - n_img), attn_mask.dtype)],
-            axis=-1,
-        )
-
-        def fused_from_hidden(hidden_last):
+        def forced_step(hidden_last, step, key, prompt_len):
             logits = janus_lib.gen_logits(params, hidden_last[:, None, :])[:, 0]
             cond, uncond = logits[:b], logits[b:]
-            return (uncond + cfg_weight * (cond - uncond)).astype(jnp.float32)
-
-        def feed(step):
+            fused = (uncond + cfg_weight * (cond - uncond)).astype(jnp.float32)
             tok = jax.lax.dynamic_slice_in_dim(forced, step, 1, axis=1)[:, 0]
             both = jnp.concatenate([tok, tok])
             embeds = janus_lib.prepare_gen_img_embeds(params, cfg, both[:, None])
             pos = (prompt_len + step)[:, None]
-            return embeds, pos
+            return fused, embeds, pos
 
-        logits0 = fused_from_hidden(hidden[:, -1])
-        embeds, pos = feed(0)
-
-        def make_body(window):
-            def body(carry, step):
-                kv, embeds, pos = carry
-                hidden, kv = janus_lib.language_forward(
-                    params, cfg, embeds, window_mask[:, :window], pos,
-                    kv_cache=kv, attn_window=window,
-                    decode_kernel=self.decode_kernel,
-                    cache_layout=self.kv_layout,
-                )
-                fused = fused_from_hidden(hidden[:, -1])
-                embeds, pos = feed(step)
-                return (kv, embeds, pos), fused
-
-            return body
-
-        n_seg = min(self.decode_segments, max(1, (n_img - 1) // 64))
-        bounds = [1 + (n_img - 1) * (s + 1) // n_seg for s in range(n_seg)]
-        carry = (kv, embeds, pos)
-        outs = [logits0[:, None]]
-        start = 1
-        for end in bounds:
-            if end <= start:
-                continue
-            window = s_max if self.decode_kernel else \
-                min(s_max, ((t_prompt + end + 63) // 64) * 64)
-            carry, seg = jax.lax.scan(
-                make_body(window), carry,
-                jnp.arange(start, end, dtype=jnp.int32),
-            )
-            outs.append(jnp.transpose(seg, (1, 0, 2)))
-            start = end
-        return jnp.concatenate(outs, axis=1)          # [B, n_img, V]
+        return self._segmented_decode(params, tokens, attn_mask, forced_step)
 
     def forced_cfg_logits(self, prompts: Sequence[str],
                           forced_tokens: np.ndarray) -> np.ndarray:
@@ -395,22 +361,28 @@ class ImageGenEngine:
         def body_fn(st):
             rng, k_acc, k_res, k_draft = jax.random.split(st["rng"], 4)
             n_gen = st["n_gen"]
-            len_b = t_prompt + n_gen                           # absolute rows
-            len2b = jnp.concatenate([len_b, len_b])
+            # the window's FIRST query is last_tok = out[n_gen-1], whose
+            # cache row is t_prompt + n_gen - 1 and whose rotary position
+            # continues the prompt at prompt_len + n_gen - 1 (off by one
+            # either way leaves row t_prompt a never-written all-zero
+            # phantom that every later softmax attends: measured 2.2e-5
+            # max|Δp| vs sequential on the tiny model — aligned, 3.7e-9)
+            row_b = t_prompt + n_gen - 1                       # absolute rows
+            row2b = jnp.concatenate([row_b, row_b])
 
             inputs = jnp.concatenate(
                 [st["last_tok"][:, None], st["drafts"][:, : W - 1]], axis=1)
             inputs2b = jnp.concatenate([inputs, inputs], axis=0)
             embeds = janus_lib.prepare_gen_img_embeds(params, cfg, inputs2b)
-            pos = (prompt_len + jnp.concatenate([n_gen, n_gen]))[:, None] \
+            pos = (prompt_len + jnp.concatenate([n_gen, n_gen]) - 1)[:, None] \
                 + jnp.arange(W)[None, :]
             mask = base_mask | (
-                (s_idx >= t_prompt) & (s_idx < (len2b + W)[:, None])
+                (s_idx >= t_prompt) & (s_idx < (row2b + W)[:, None])
             ).astype(base_mask.dtype)
 
             hidden, cache = janus_lib.language_forward(
                 params, cfg, embeds, mask, pos, kv_cache=st["cache"],
-                cache_positions=len2b,
+                cache_positions=row2b,
                 cache_layout=self.kv_layout,
             )
             p = fused_probs(hidden)                            # [B, W, V]
@@ -452,13 +424,23 @@ class ImageGenEngine:
                 committed, jnp.maximum(c - 1, 0)[:, None], axis=1)[:, 0]
             last = jnp.where(c > 0, last, st["last_tok"])
 
-            # next Jacobi drafts: reuse this round's samples shifted by c
-            s_all = jax.random.categorical(k_draft, jnp.log(p + 1e-30))  # [B, W]
+            # next Jacobi drafts: sample each slot INDEPENDENTLY from this
+            # round's distribution shifted by c (clamped to the last
+            # available window slot).  Independent per-slot draws — not a
+            # gather of one shared sample vector — keep q_probs the true
+            # proposal even when the clamp maps several slots to p[:,W-1]
+            # (a shared draw there is a point-mass proposal, which breaks
+            # the acceptance/residual identity)
             src = jnp.minimum(c[:, None] + wi, W - 1)
-            drafts_new = jnp.take_along_axis(s_all, src, axis=1)
-            q_new = jax.vmap(lambda pp, ss: pp[ss])(p, src)
+            q_new = jax.vmap(lambda pp, ss: pp[ss])(p, src)     # [B, W, V]
+            drafts_new = jax.random.categorical(
+                k_draft, jnp.log(q_new + 1e-30))                # [B, W]
 
-            return dict(cache=cache, n_gen=n_gen + c, last_tok=last,
+            # clamp: a row that overshoots past n_img must freeze AT n_img,
+            # or later rounds scatter its draft K/V past s_max-1 (OOB
+            # writes are dropped today, but that behavior is undefined)
+            return dict(cache=cache, n_gen=jnp.minimum(n_gen + c, n_img),
+                        last_tok=last,
                         drafts=drafts_new, q_probs=q_new, out=out, rng=rng,
                         iters=st["iters"] + 1)
 
@@ -518,20 +500,29 @@ class ImageGenEngine:
             list(ex.map(compile_one, sigs))
         return len(sigs)
 
-    def signature_for(self, prompts: Sequence[str]) -> tuple:
-        """(batch_pairs_bucket, prompt_bucket) this prompt list will
-        compile as — feed to :meth:`prewarm`."""
+    def _batch_bucket(self, b_real: int) -> int:
+        """CFG-pair batch bucket: powers of two (no ragged-tail retraces),
+        capped at the HBM-tuned serving batch, then rounded up to a
+        multiple of the mesh's data-axis size (cond/uncond halves must
+        stay shard-aligned).  ONE formula for both the compile-signature
+        predictor (:meth:`signature_for`/:meth:`prewarm`) and the actual
+        dispatch — if they ever diverged, step 3 would silently pay a
+        cold mid-serve compile while the prewarmed executable goes
+        unused."""
         from ospo_tpu.parallel import mesh as mesh_lib
 
-        b_real = len(prompts)
         b = 1 << (b_real - 1).bit_length() if self.batch_bucketing else b_real
         if self.batch_cap:
             b = min(b, max(self.batch_cap, b_real))
         dp = mesh_lib.data_parallel_size(self.mesh)
-        b = ((b + dp - 1) // dp) * dp
+        return ((b + dp - 1) // dp) * dp
+
+    def signature_for(self, prompts: Sequence[str]) -> tuple:
+        """(batch_pairs_bucket, prompt_bucket) this prompt list will
+        compile as — feed to :meth:`prewarm`."""
         tok = self.processor.tokenizer
         t_max = _bucket(max(len(tok.encode(p)) for p in prompts))
-        return b, t_max
+        return self._batch_bucket(len(prompts)), t_max
 
     def generate_tokens(self, prompts: Sequence[str], seed: int = 0) -> np.ndarray:
         out, b_real = self._generate_tokens_device_batch(prompts, seed)
@@ -545,14 +536,7 @@ class ImageGenEngine:
         from ospo_tpu.parallel import mesh as mesh_lib
 
         b_real = len(prompts)
-        # batch bucket (powers of two) so ragged final batches don't retrace
-        b_bucket = 1 << (b_real - 1).bit_length() if self.batch_bucketing else b_real
-        if self.batch_cap:
-            b_bucket = min(b_bucket, max(self.batch_cap, b_real))
-        # under a mesh the CFG-pair count must divide evenly across the
-        # data axis (keeps the cond/uncond halves shard-aligned)
-        dp = mesh_lib.data_parallel_size(self.mesh)
-        b_bucket = ((b_bucket + dp - 1) // dp) * dp
+        b_bucket = self._batch_bucket(b_real)
         prompts = list(prompts) + [prompts[-1]] * (b_bucket - b_real)
         tokens, mask = self.build_cfg_batch(prompts)
         rng = jax.random.PRNGKey(seed)
@@ -567,10 +551,19 @@ class ImageGenEngine:
         )
         if self.speculative > 0:
             out, iters = self._generate_tokens_sjd(*args)
-            self.last_sjd_iters = int(iters)
+            # keep the device scalar — int(iters) here would block until
+            # the whole generation finishes, re-serializing the writer
+            # overlap generate_images_device promises
+            self._last_sjd_iters_dev = iters
         else:
             out = self._generate_tokens(*args)
         return out, b_real
+
+    @property
+    def last_sjd_iters(self):
+        """Jacobi iterations of the last SJD call (host sync on READ, not
+        inside the dispatch path)."""
+        return int(self._last_sjd_iters_dev)
 
     def generate_images_device(self, prompts: Sequence[str],
                                seed: int = 0) -> jax.Array:

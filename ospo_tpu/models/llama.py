@@ -348,6 +348,10 @@ def forward(
     x = inputs_embeds.astype(cfg.dtype)
     cos, sin = rope_frequencies(cfg, positions)
     use_cache = kv_cache is not None
+    # the cached scan does not thread per-layer dropout keys — refuse
+    # loudly rather than silently running the adapters deterministic
+    assert not (use_cache and lora_dropout and lora_dropout_rng is not None), \
+        "LoRA dropout is only supported on the non-cached (training) path"
     cache_len = kv_cache["length"] if use_cache else None
     T = x.shape[1]
 
