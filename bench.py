@@ -252,9 +252,7 @@ def bench_text(preset: str) -> None:
     prompt = "A" * int(os.environ.get("OSPO_BENCH_PROMPT_LEN", "120"))
     engine = TextGenEngine(model, proc, max_new_tokens=max_new,
                            temperature=1.0, do_sample=True,
-                           kv_quant=(os.environ.get("OSPO_BENCH_KV")
-                                     if os.environ.get("OSPO_BENCH_KV")
-                                     in ("int8", "int4") else False))
+                           kv_quant=os.environ.get("OSPO_BENCH_KV") or False)
     for b in batches:
         try:
             prompts = [prompt] * b
@@ -466,9 +464,7 @@ def main() -> None:
         img_size=model.cfg.gen_image_size,
         patch_size=model.cfg.vq.downsample_factor,
         batch_bucketing=False,  # measure the exact requested batch
-        kv_quant=(os.environ.get("OSPO_BENCH_KV")
-                  if os.environ.get("OSPO_BENCH_KV") in ("int8", "int4")
-                  else False),
+        kv_quant=os.environ.get("OSPO_BENCH_KV") or False,
         decode_kernel=os.environ.get("OSPO_BENCH_DECODE_KERNEL") == "1",
         # growing-window segmented decode: +25% at B=24 shbd int8 (898 vs
         # 721 tok/s on v5e); no-op for the Pallas kernel (it streams the

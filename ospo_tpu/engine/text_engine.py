@@ -53,7 +53,10 @@ class TextGenEngine:
         self.temperature = float(temperature)
         self.top_p = top_p
         self.do_sample = bool(do_sample)
-        self.kv_quant = kv_quant
+        # validate spellings loudly HERE, not only in the config-driven
+        # constructor: a direct TextGenEngine(kv_quant="INT4") must error,
+        # not silently build an int8 (or bf16) cache at int4-tuned batches
+        self.kv_quant = parse_kv_quant(kv_quant)
         # multi-device serving mesh (params sharded by the caller via
         # parallel.mesh.shard_janus_params); batches shard on 'data'
         self.mesh = mesh
@@ -147,20 +150,29 @@ class TextGenEngine:
         return out_buf
 
     # ------------------------------------------------------------------
-    def signature_for(self, prompts: Sequence[str]) -> tuple:
-        """The (batch_bucket, prompt_bucket) compile signature
-        ``generate_ids`` will use for this batch — feed to :meth:`prewarm`."""
+    def _batch_bucket(self, b_real: int) -> int:
+        """Batch bucket: powers of two (ragged final batches reuse the
+        compiled program), capped at the HBM-tuned serving batch, rounded
+        up to the mesh's data-axis size.  ONE formula shared by
+        :meth:`signature_for` and :meth:`generate_ids` — if they drifted,
+        prewarm would AOT-compile a program the dispatch never uses and
+        the first real batch would pay the cold compile anyway."""
         from ospo_tpu.parallel import mesh as mesh_lib
 
-        input_ids, _ = self.processor.encode_batch_left_padded(list(prompts))
-        b_bucket = 1 << (len(prompts) - 1).bit_length()
+        b = 1 << (b_real - 1).bit_length()
         if self.batch_cap:
-            b_bucket = min(b_bucket, max(self.batch_cap, len(prompts)))
-        # mirror generate_ids exactly: under a mesh the bucket rounds up
-        # to the data axis, else the prewarmed program is never reused
+            b = min(b, max(self.batch_cap, b_real))
         dp = mesh_lib.data_parallel_size(self.mesh)
-        b_bucket = ((b_bucket + dp - 1) // dp) * dp
-        return b_bucket, _bucket(input_ids.shape[1])
+        return ((b + dp - 1) // dp) * dp
+
+    def signature_for(self, prompts: Sequence[str]) -> tuple:
+        """The (batch_bucket, prompt_bucket) compile signature
+        ``generate_ids`` will use for this batch — feed to :meth:`prewarm`.
+        Only the MAX encoded length matters (left-pad target), so this
+        skips building the padded arrays generate_ids will rebuild."""
+        tok = self.processor.tokenizer
+        t_max = max(len(tok.encode(p)) for p in prompts)
+        return self._batch_bucket(len(prompts)), _bucket(t_max)
 
     def prewarm(self, signatures, max_workers: int = 4) -> int:
         """AOT-compile the decode program for each distinct
@@ -214,16 +226,9 @@ class TextGenEngine:
             input_ids = np.pad(input_ids, ((0, 0), (pad, 0)),
                                constant_values=self.processor.pad_id)
             mask = np.pad(mask, ((0, 0), (pad, 0)))
-        # batch bucket (powers of two): ragged final pipeline batches reuse
-        # the compiled program instead of retracing; under a mesh the batch
-        # must divide evenly across the data axis
         from ospo_tpu.parallel import mesh as mesh_lib
 
-        dp = mesh_lib.data_parallel_size(self.mesh)
-        b_bucket = 1 << (b_real - 1).bit_length()
-        if self.batch_cap:
-            b_bucket = min(b_bucket, max(self.batch_cap, b_real))
-        b_bucket = ((b_bucket + dp - 1) // dp) * dp
+        b_bucket = self._batch_bucket(b_real)
         if b_bucket != b_real:
             reps = b_bucket - b_real
             input_ids = np.concatenate(

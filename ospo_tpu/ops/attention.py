@@ -236,10 +236,19 @@ def attention(
     if impl == "xla" or isinstance(k, dict) or kv_layout != "bshd":
         return xla_attention(q, k, v, mask, q_offset, causal, kv_layout)
 
+    # flash masks keys at j <= i (row-local causality) — it has no notion
+    # of a query offset, so any nonzero/traced q_offset MUST stay on the
+    # XLA path or every query silently loses its view of the prefix
+    offset_zero = isinstance(q_offset, int) and q_offset == 0
+    if impl == "flash" and not offset_zero:
+        raise ValueError(
+            "impl='flash' supports only a static q_offset of 0 (prefill); "
+            "cached/offset reads take the XLA path")
     use_flash = (
         impl == "flash"
         or (
             impl == "auto"
+            and offset_zero
             and jax.default_backend() == "tpu"
             and q.shape[1] > 1
             and q.shape[1] == k.shape[1]

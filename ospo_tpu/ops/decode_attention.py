@@ -105,7 +105,12 @@ def _kernel(scalars_ref,              # [2] int32: (layer_idx, cur_len)
             ks_dma(slot, i).wait()
             vs_dma(slot, i).wait()
 
-    start(0, 0)
+    # cur_len == 0 → nb == 0: the fori_loop never runs, so an
+    # unconditional start here would leave in-flight DMAs whose
+    # semaphores are never waited (undefined at kernel exit)
+    @pl.when(nb > 0)
+    def _():
+        start(0, 0)
 
     q = q_ref[...].astype(jnp.float32) * scale                 # [HB, dh]
 

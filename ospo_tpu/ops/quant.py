@@ -38,8 +38,8 @@ def parse_kv_quant(value):
     if value is True:
         return "int8"
     s = str(value).strip().lower()
-    if s in ("", "false", "none", "0", "off"):
-        return False
+    if s in ("", "false", "none", "0", "off", "bf16"):
+        return False  # "bf16" = the unquantized cache, documented spelling
     if s in ("true", "1", "on"):
         return "int8"
     if s in ("int8", "int4"):

@@ -76,3 +76,36 @@ def test_fully_masked_rows_are_finite():
     mask = jnp.zeros((b, t), jnp.int32)
     out = flash_attention(q, k, v, mask=mask, interpret=True)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_flash_dispatch_rejects_nonzero_offset():
+    """impl='flash' has no q_offset notion (row-local j<=i causality) —
+    a nonzero or traced offset must error, not silently hide the prefix."""
+    from ospo_tpu.ops.attention import attention
+
+    q = jnp.zeros((1, 8, 2, 128), jnp.float32)
+    k = jnp.zeros((1, 8, 2, 128), jnp.float32)
+    v = jnp.zeros((1, 8, 2, 128), jnp.float32)
+    with pytest.raises(ValueError, match="q_offset"):
+        attention(q, k, v, q_offset=4, impl="flash")
+    with pytest.raises(ValueError, match="q_offset"):
+        attention(q, k, v, q_offset=jnp.int32(0), impl="flash")  # traced
+
+
+def test_parse_kv_quant_spellings():
+    from ospo_tpu.ops.quant import parse_kv_quant
+
+    assert parse_kv_quant("bf16") is False     # documented 'off' spelling
+    assert parse_kv_quant(True) == "int8"
+    assert parse_kv_quant("int4") == "int4"
+    with pytest.raises(ValueError):
+        parse_kv_quant("INT_8")
+
+
+def test_text_engine_validates_kv_quant():
+    """Direct construction must validate spellings too, not only
+    from_generation_config (CLAUDE.md loud-validation convention)."""
+    from ospo_tpu.engine.text_engine import TextGenEngine
+
+    with pytest.raises(ValueError):
+        TextGenEngine(None, None, kv_quant="INT_4")
