@@ -204,16 +204,25 @@ class JanusModel:
         # ``quantize`` (True/"int8", or "int4") fuses trunk quantization
         # into the same program so the bf16 stacks never co-reside with
         # their quantized replacements (13.3+6.7GB would OOM a 16GB chip).
+        if quantize:
+            # validate the spelling LOUDLY before tracing (True → "int8");
+            # a silent coercion here would hand an int8 trunk to a caller
+            # who asked for int4 — 2× the planned weight HBM, no error
+            if quantize is True:
+                quantize = "int8"
+            elif quantize not in ("int8", "int4", "int4n"):
+                raise ValueError(
+                    f"JanusModel.init(quantize={quantize!r}): expected "
+                    "True, 'int8', 'int4' or 'int4n'")
+
         def build(key):
             p = init_params(cfg, key)
             if quantize:
                 from ospo_tpu.ops import quant
 
-                mode = (quantize if quantize in ("int8", "int4", "int4n")
-                        else "int8")
                 p = {**p, "language_model":
                      quant.quantize_llama_params(p["language_model"],
-                                                 mode=mode)}
+                                                 mode=quantize)}
             return p
 
         return cls(cfg, jax.jit(build)(jax.random.PRNGKey(seed)))

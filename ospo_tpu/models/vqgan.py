@@ -284,8 +284,10 @@ def normalized_codebook(params: Params, cfg: VQConfig) -> jax.Array:
     return cb
 
 
-def quantize(params: Params, cfg: VQConfig, z: jax.Array):
-    """Nearest-codebook lookup. z: [B, h, w, Cd] → (z_q, ids [B, h, w])."""
+def _nearest_code(params: Params, cfg: VQConfig, z: jax.Array):
+    """Shared nearest-codebook core for the inference and training
+    quantizers: (zn — L2-normalised encoder output, z_q_raw — looked-up
+    codes, ids, d — the [N, K] distance matrix for the entropy loss)."""
     cb = normalized_codebook(params, cfg)
     zn = z
     if cfg.l2_norm_codebook:
@@ -297,9 +299,15 @@ def quantize(params: Params, cfg: VQConfig, z: jax.Array):
         cb * cb, axis=-1
     )
     ids = jnp.argmin(d, axis=-1)
-    z_q = jnp.take(cb, ids, axis=0).reshape(zn.shape)
+    z_q_raw = jnp.take(cb, ids, axis=0).reshape(zn.shape)
+    return zn, z_q_raw, ids, d
+
+
+def quantize(params: Params, cfg: VQConfig, z: jax.Array):
+    """Nearest-codebook lookup. z: [B, h, w, Cd] → (z_q, ids [B, h, w])."""
+    zn, z_q_raw, ids, _ = _nearest_code(params, cfg, z)
     # straight-through: pass gradients to the (normalised) encoder output
-    z_q = zn + jax.lax.stop_gradient(z_q - zn)
+    z_q = zn + jax.lax.stop_gradient(z_q_raw - zn)
     return z_q, ids.reshape(z.shape[:-1])
 
 
@@ -311,17 +319,7 @@ def quantize_with_losses(params: Params, cfg: VQConfig, z: jax.Array,
     (vq_model.py:266-270, 450-463).  Enables from-scratch/continued VQ
     tokenizer training, a capability the reference model class carries.
     """
-    cb = normalized_codebook(params, cfg)
-    zn = z
-    if cfg.l2_norm_codebook:
-        zn = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
-    flat = zn.reshape(-1, zn.shape[-1])
-    dots = flat @ cb.T
-    d = jnp.sum(flat * flat, axis=-1, keepdims=True) - 2 * dots + jnp.sum(
-        cb * cb, axis=-1
-    )
-    ids = jnp.argmin(d, axis=-1)
-    z_q_raw = jnp.take(cb, ids, axis=0).reshape(zn.shape)
+    zn, z_q_raw, ids, d = _nearest_code(params, cfg, z)
 
     vq_loss = jnp.mean((z_q_raw - jax.lax.stop_gradient(zn)) ** 2)
     commit_loss = cfg.commit_beta * jnp.mean(

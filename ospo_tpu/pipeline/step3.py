@@ -142,10 +142,21 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
         raise RuntimeError(
             f"step3: all {n_batches} batches failed — aborting instead of "
             "writing an empty output tree (see errors above)")
-    if writer_stats["failed"] and not writer_stats["ok"]:
-        raise RuntimeError(
-            f"step3: all {writer_stats['failed']} fetch/save groups failed "
-            "— aborting instead of completing with an empty tree")
+    if writer_stats["failed"]:
+        total = writer_stats["failed"] + writer_stats["ok"]
+        print(f"# step3: {writer_stats['failed']}/{total} fetch/save "
+              f"groups failed (see tracebacks above)")
+        # fetch errors surface in the WORKERS (async dispatch never
+        # raises), so a mid-run tunnel death shows up as every remaining
+        # group failing while failed_batches stays 0.  A majority of
+        # failed groups is an environment failure, not per-sample noise —
+        # refuse to 'complete' a mostly-empty tree that step 4 would then
+        # silently consume.
+        if writer_stats["failed"] > writer_stats["ok"]:
+            raise RuntimeError(
+                f"step3: {writer_stats['failed']}/{total} fetch/save "
+                "groups failed — aborting instead of completing a "
+                "mostly-empty output tree")
 
 
 def main(config) -> None:

@@ -80,7 +80,11 @@ def init_lora(cfg: LlamaConfig, lora_cfg: LoraConfig, key: jax.Array) -> Dict:
     keys = jax.random.split(key, len(lora_cfg.target_modules))
     for k, name in zip(keys, lora_cfg.target_modules):
         d_in, d_out = widths[name]
-        bound = (1.0 / d_in) ** 0.5 * (3.0 ** 0.5)  # kaiming uniform, a=√5
+        # peft: kaiming_uniform_(a=√5) on A[r, d_in] → gain √(1/3), bound
+        # = gain·√(3/fan_in) = 1/√d_in.  (√(3/d_in) — plain He-uniform —
+        # is √3 too wide: grad_B ∝ A@x, so early adapter learning would
+        # run ~1.73× hotter than the reference trainer's.)
+        bound = (1.0 / d_in) ** 0.5
         tree[name] = {
             "a": jax.random.uniform(k, (n, d_in, r), jnp.float32, -bound, bound),
             "b": jnp.zeros((n, r, d_out), jnp.float32),
@@ -89,13 +93,31 @@ def init_lora(cfg: LlamaConfig, lora_cfg: LoraConfig, key: jax.Array) -> Dict:
 
 
 def merge(base_llama_params: Dict, lora_tree: Dict, scaling: float) -> Dict:
-    """Fold adapters into the stacked base weights (merge_and_unload)."""
+    """Fold adapters into the stacked base weights (merge_and_unload).
+
+    CONSUMES the base projection matrices: one donated jit per stacked
+    matrix, dropping each original before merging the next (the
+    ``ops/quant.quantize_llama_params_incremental`` pattern).  A
+    whole-trunk eager merge would co-reside the old and new trunks plus
+    multi-GB fp32 temps — well past 15.75 GB at 7B on a backend that
+    ignores donation (the round-2 ``ckpt_path`` porting path runs with
+    the bf16 trunk already device-resident)."""
     layers = dict(base_llama_params["layers"])
+
+    def merge_one(w, a, b):
+        # torch layout w: [L, d_out, d_in]; fp32 accumulate, cast back
+        delta = jnp.einsum("ndr,nrf->nfd", a, b,
+                           preferred_element_type=jnp.float32) * scaling
+        return (w.astype(jnp.float32) + delta).astype(w.dtype)
+
+    merge_jit = jax.jit(merge_one, donate_argnums=0)
     for name, ab in lora_tree.items():
         pkey = _PROJ_TO_PARAM[name]
-        w = layers[pkey]  # torch layout [L, d_out, d_in]
-        delta = jnp.einsum("ndr,nrf->nfd", ab["a"], ab["b"]) * scaling
-        layers[pkey] = (w.astype(jnp.float32) + delta).astype(w.dtype)
+        w = layers[pkey]
+        layers[pkey] = jax.block_until_ready(
+            merge_jit(w, jnp.asarray(ab["a"]), jnp.asarray(ab["b"])))
+        if isinstance(w, jax.Array):
+            w.delete()  # donation alone is ignored on some backends
     out = dict(base_llama_params)
     out["layers"] = layers
     return out

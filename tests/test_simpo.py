@@ -107,3 +107,27 @@ def test_checkpoint_roundtrip(tmp_path):
             np.asarray(tree[name]["a"]), loaded[name]["a"]
         )
     assert path.endswith("step_000007")
+
+
+def test_lora_init_bound_matches_peft():
+    """peft kaiming_uniform_(a=√5) on A[r, d_in] → bound 1/√d_in (gain
+    √(1/3) × √(3/fan_in)); √3 wider would run early adapter learning
+    ~1.73× hotter than the reference trainer."""
+    from ospo_tpu.models.llama import tiny_config
+    cfg = tiny_config()
+    lcfg = lora_lib.LoraConfig(rank=4, alpha=8)
+    tree = lora_lib.init_lora(cfg, lcfg, jax.random.PRNGKey(0))
+    a = np.asarray(tree["q_proj"]["a"])
+    d_in = cfg.hidden_size
+    bound = 1.0 / d_in ** 0.5
+    assert np.abs(a).max() <= bound + 1e-7
+    # uniform(-b, b) std = b/√3; loose 15% tolerance on the sample std
+    assert abs(a.std() - bound / 3 ** 0.5) < 0.15 * bound / 3 ** 0.5
+    assert not np.asarray(tree["q_proj"]["b"]).any()
+
+
+def test_janus_init_quantize_spelling_validated():
+    from ospo_tpu.models import janus as janus_lib
+    with pytest.raises(ValueError, match="quantize"):
+        janus_lib.JanusModel.init(janus_lib.tiny_janus_config(),
+                                  quantize="int4x")
