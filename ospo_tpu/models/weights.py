@@ -7,9 +7,11 @@ this framework's functional pytrees:
   stacked along the layer axis for the ``lax.scan`` forward (the framework's
   projection convention — transpose-free porting, copy-free layer slicing);
 - conv kernels go OIHW → HWIO for the NHWC conv stacks;
-- timm-ViT ``blocks.{i}`` params stack along layers; the unused latent
-  attention-pool head (``attn_pool.*``) is dropped (Janus runs the tower
-  with ignore_head=True, janus/models/clip_encoder.py + siglip_vit.py:667).
+- timm-ViT ``blocks.{i}`` params stack along layers; the latent
+  attention-pool head (``attn_pool.*``, ~20M params) is ported when the
+  checkpoint carries it — unused by Janus at runtime (the tower runs with
+  ignore_head=True, janus/models/clip_encoder.py + siglip_vit.py:667) but
+  kept for MAP-pool capability parity (``vit.attention_pool``).
 
 Weight-mapping correctness for the language model is verified against
 transformers in ``tests/test_llama_parity.py`` (same mapping, exported
@@ -24,6 +26,7 @@ import json
 import os
 from typing import Any, Dict, Mapping, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -406,7 +409,9 @@ def load_janus(model_path: str,
         return janus_lib.JanusModel(cfg, _load_param_cache(cache_path))
     sd = load_state_dict(model_path)
     params = port_janus(sd, cfg)
-    if use_cache:
+    if use_cache and jax.process_index() == 0:
+        # process 0 only (N processes porting the same checkpoint would
+        # interleave writes into one zip)
         try:
             _save_param_cache(cache_path, params)
         except OSError as e:  # read-only checkpoint dirs are fine
@@ -428,7 +433,16 @@ def _save_param_cache(path: str, params) -> None:
             flat[k + "#bf16"] = v.view(np.uint16)
         else:
             flat[k] = v
-    np.savez(path, **flat)
+    # atomic publish: a reader (or the isfile check) must never see a
+    # half-written zip — an interrupted multi-minute 7B cache write would
+    # otherwise poison every later load with BadZipFile until hand-deleted
+    tmp = f"{path}.tmp{os.getpid()}.npz"  # .npz: np.savez appends it anyway
+    try:
+        np.savez(tmp, **flat)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _load_param_cache(path: str):

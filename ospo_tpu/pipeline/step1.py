@@ -221,8 +221,11 @@ def combine_prompt(config) -> None:
 
 def main(config) -> None:
     set_seed(int(config.seed or 42))
-    if config.save_path:
-        os.makedirs(config.save_path, exist_ok=True)
+    if not config.save_path:
+        # fail BEFORE the expensive generation pass: every later write
+        # (elements, base_prompt.json) needs it
+        raise ValueError("step1 requires save_path")
+    os.makedirs(config.save_path, exist_ok=True)
 
     model, tokenizer, processor = get_model(config)
     elements = generate_elements(config, model, processor)

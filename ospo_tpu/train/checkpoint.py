@@ -37,9 +37,16 @@ from ospo_tpu.train import lora as lora_lib
 def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
+        if not tree and prefix:
+            # empty containers must round-trip: the VQ-GAN levels carry
+            # 'attn': [] entries whose ABSENCE after a reload crashes
+            # encoder/decoder_forward (KeyError 'attn')
+            out[prefix + "__empty_dict__"] = np.zeros((), np.int8)
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
+        if not tree and prefix:
+            out[prefix + "__empty_list__"] = np.zeros((), np.int8)
         for i, v in enumerate(tree):
             out.update(_flatten(v, f"{prefix}[{i}]/"))
     elif tree is None:
@@ -61,6 +68,10 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
     def listify(node):
         if not isinstance(node, dict):
             return node
+        if "__empty_list__" in node:
+            return []
+        if "__empty_dict__" in node:
+            return {}
         if node and all(re.fullmatch(r"\[\d+\]", k) for k in node):
             # list nodes may have gaps (children with no leaves, e.g. optax
             # EmptyState) — keep present indices in numeric order
@@ -137,14 +148,24 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, steps[-1]) if steps else None
 
 
-def load_checkpoint(path: str) -> Tuple[Any, lora_lib.LoraConfig, int, Any]:
-    """→ (lora_tree, lora_cfg, step, opt_state|None). ``path`` may be a
-    step directory or a parent dir (latest step used)."""
+def resolve_checkpoint_dir(path: str) -> str:
+    """``path`` may be a step directory or a parent dir → the concrete
+    step directory.  Resolve ONCE and pass the result to both
+    :func:`load_checkpoint` and :func:`checkpoint_mode` — resolving
+    independently races a live trainer writing new step_* dirs (tree
+    from one step, mode from another)."""
     if not os.path.isfile(os.path.join(path, "meta.json")):
         latest = latest_checkpoint(path)
         if latest is None:
             raise FileNotFoundError(f"no checkpoint under {path}")
-        path = latest
+        return latest
+    return path
+
+
+def load_checkpoint(path: str) -> Tuple[Any, lora_lib.LoraConfig, int, Any]:
+    """→ (lora_tree, lora_cfg, step, opt_state|None). ``path`` may be a
+    step directory or a parent dir (latest step used)."""
+    path = resolve_checkpoint_dir(path)
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     lora_tree = load_tree(os.path.join(path, "lora.npz"))
@@ -180,6 +201,7 @@ def merge_lora_checkpoint(model, ckpt_path: str):
 
     from ospo_tpu.models.janus import JanusModel
 
+    ckpt_path = resolve_checkpoint_dir(ckpt_path)  # one step dir for both
     tree, lora_cfg, _, _ = load_checkpoint(ckpt_path)
     if checkpoint_mode(ckpt_path) == "full":
         params = dict(model.params)
