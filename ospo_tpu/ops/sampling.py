@@ -25,19 +25,23 @@ def top_p_filter(logits: jax.Array, top_p) -> jax.Array:
     with cumulative probability ≥ top_p; everything else → -inf.
 
     Matches HF semantics: the first token whose *preceding* cumulative mass
-    already reaches top_p is the last kept one.
+    already reaches top_p is the last kept one.  The keep mask is INDEX
+    based (scattered back through the sort permutation), not a probability
+    threshold — a value threshold keeps every token TIED with the cutoff
+    (near-uniform logits would then pass all V tokens, i.e. nucleus
+    sampling would switch itself off exactly in the degenerate cases it
+    exists to guard).  The top-ranked token is always kept, so top_p ≤ 0
+    degrades to greedy-support rather than an all--inf row.
     """
-    probs = jax.nn.softmax(logits, axis=-1)
-    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
-    cum = jnp.cumsum(sorted_probs, axis=-1)
-    # mass strictly before each sorted position
-    prev_cum = cum - sorted_probs
+    sorted_idx = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    # mass strictly before each sorted position; position 0 has 0 < top_p
+    prev_cum = jnp.cumsum(sorted_probs, axis=-1) - sorted_probs
     keep_sorted = prev_cum < top_p
-    # threshold prob: smallest kept probability
-    min_kept = jnp.min(
-        jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1, keepdims=True
-    )
-    keep = probs >= min_kept
+    keep_sorted = keep_sorted.at[..., 0].set(True)     # never empty
+    inv = jnp.argsort(sorted_idx, axis=-1)             # scatter back
+    keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
     return jnp.where(keep, logits, -jnp.inf)
 
 

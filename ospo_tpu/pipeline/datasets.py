@@ -85,9 +85,12 @@ class PreferenceDataset:
         if os.path.exists(path) or self.data_root is None:
             return path
         parts = path.replace("\\", "/").split("/")
-        for anchor in ("base", "negative"):
-            if anchor in parts:
-                i = parts.index(anchor)
+        # the step3 layout anchor is the LAST base|negative before the
+        # category dir — searching from the front would re-root at a
+        # foreign prefix that happens to contain a 'base' component
+        # (e.g. /mnt/base/outputs/step3/base/complex/...)
+        for i in range(len(parts) - 1, -1, -1):
+            if parts[i] in ("base", "negative"):
                 return os.path.join(self.data_root, *parts[i:])
         return path
 

@@ -2,7 +2,7 @@
 on arbitrary prompt lists.
 
 Equivalent of ``ospo/inference.py``: reads a prompt list JSON, generates
-one image per (prompt, seed) into ``{save_path}/{prompt}_{seed:02d}.png``,
+one image per (prompt, seed) into ``{save_path}/{prompt}_{seed}.png``,
 captures failed samples into ``error_sample.json``, and prints elapsed
 minutes.  Config composes Hydra-style groups (model/peft/trainer/data) via
 ``compose_config``.
@@ -32,6 +32,7 @@ def generate_all(config, engine: ImageGenEngine, prompts: List[str]) -> None:
     if isinstance(seeds, int):
         seeds = [seeds]
     error_samples = []
+    n_long = [0]  # running index for longprompt_* fallback names
     batch_size = int(config.get("batch_size") or 4)
     for seed in seeds:
         for batch in batched(prompts, batch_size):
@@ -49,12 +50,32 @@ def generate_all(config, engine: ImageGenEngine, prompts: List[str]) -> None:
                 continue
             try:
                 images = engine.generate_from_raw_prompts(todo, seed=seed)
-                for img, path in zip(images, paths):
-                    Image.fromarray(img).save(path)
             except Exception as e:
                 print(f"Error generating batch: {e}")
                 traceback.print_exc()
                 error_samples.extend(todo)
+                continue
+            # per-IMAGE saves: one overlong filename (OSError) must not
+            # discard the rest of the batch's generated images or tag
+            # already-saved prompts as errors; the reference saves such
+            # images under a short alternative name (inference.py:177-182)
+            for img, path, p in zip(images, paths, todo):
+                try:
+                    Image.fromarray(img).save(path)
+                except OSError:
+                    alt = os.path.join(
+                        config.save_path,
+                        f"longprompt_{seed}_{n_long[0]:04d}.png")
+                    n_long[0] += 1
+                    try:
+                        Image.fromarray(img).save(alt)
+                        print(f"# overlong prompt filename — saved {alt}")
+                    except Exception as e:
+                        print(f"Error saving {path}: {e}")
+                        error_samples.append(p)
+                except Exception as e:
+                    print(f"Error saving {path}: {e}")
+                    error_samples.append(p)
     if error_samples:
         save_json(config.save_path, "error_sample", error_samples)
 

@@ -70,8 +70,8 @@ def build_model(config) -> janus_lib.JanusModel:
         )
     seed = config.get("seed") if hasattr(config, "get") else 42
     if isinstance(seed, (list, tuple)):  # inference configs carry seed lists
-        seed = seed[0] if seed else 42
-    seed = int(seed or 42)
+        seed = seed[0] if seed else None
+    seed = 42 if seed is None else int(seed)  # seed: 0 is a real seed
     if preset in PRESETS:
         print(f"# Random-init preset '{preset}' (explicit model_preset).")
         cfg = PRESETS[preset]
@@ -99,7 +99,8 @@ def _validate_quantize_mode(config) -> str:
 
 def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
     """→ (JanusModel, tokenizer, Processor)."""
-    _validate_quantize_mode(config)
+    # validate BEFORE the expensive build; the result is reused below
+    qmode = _validate_quantize_mode(config)
     model = build_model(config)
     model_path = config.get("model_path")
     tokenizer = load_tokenizer(
@@ -124,7 +125,6 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
 
     # optional weight-only int8 (decode-path HBM relief; generation steps
     # only — training consumes full-precision weights)
-    qmode = _validate_quantize_mode(config)
     if qmode in ("int8", "int4", "int4n"):
         from ospo_tpu.ops import quant
 
@@ -163,8 +163,6 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
     dp = int(config.get("data_parallel") or 0)
     model.mesh = None
     if tp > 1 or dp > 1:
-        import jax
-
         from ospo_tpu.parallel import mesh as mesh_lib
 
         scope = config.get("mesh_scope") or "local"

@@ -12,7 +12,24 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
+import jax.numpy as jnp
 import optax
+
+
+def _cast_updates(dtype) -> optax.GradientTransformation:
+    """Cast incoming gradients to ``dtype`` (see build_optimizer: fp32
+    second moments for bf16 trainables)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        return jax.tree.map(lambda g: g.astype(dtype), updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def cosine_decay_warmup(init_lr: float, warmup_steps: int, max_steps: int,
@@ -105,10 +122,15 @@ def build_optimizer(
     chain = []
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip))
+    # fp32 moments even for bf16 trainables (full-finetune mode): adamw's
+    # mu_dtype only covers the FIRST moment — nu follows the grad dtype,
+    # and a bf16 nu (8-bit mantissa) rounds the b2=0.95 EMA of small
+    # squared gradients to zero/stale values.  Casting the grads up gives
+    # fp32 nu and fp32 updates (apply_updates casts back to param dtype).
+    chain.append(_cast_updates(jnp.float32))
     chain.append(
         optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
                     weight_decay=weight_decay,
-                    # fp32 moments even for bf16 trainables (full-finetune mode)
                     mu_dtype="float32")
     )
     tx = optax.chain(*chain)

@@ -95,8 +95,18 @@ class SimPOTrainer:
             grad_clip=exp.get("gradient_clip_val", 1.0),
             accumulation_steps=self.grad_accum,
         )
+        # logged LR must come from the SAME schedule the optimizer uses
         if scheduler_type == "constant":
             self._lr_fn = lambda s: self.init_lr
+        elif scheduler_type == "cosine_restarts":
+            from ospo_tpu.train.optim import cosine_annealing_warmup_restarts
+
+            sched = cosine_annealing_warmup_restarts(
+                first_cycle_steps=self.max_steps, max_lr=self.init_lr,
+                min_lr=min_lr,
+                warmup_steps=int(self.max_steps * warmup_ratio),
+            )
+            self._lr_fn = lambda s: float(sched(s))
         else:
             sched = cosine_decay_warmup(
                 self.init_lr, int(self.max_steps * warmup_ratio),
@@ -366,6 +376,14 @@ class SimPOTrainer:
 
         dp = (mesh_lib.data_parallel_size(self.mesh)
               if self.mesh is not None else 1)
+        # global_step counts OPTIMIZER updates (Lightning max_steps
+        # semantics): with gradient accumulation, optax.MultiSteps applies
+        # one update per grad_accum micro-batches, so counting micro-
+        # batches would run 1/k of the reference's updates and leave the
+        # cosine schedule (stepped per update) stuck near init_lr.  The
+        # dropout rng folds the MICRO index so accumulation micro-batches
+        # don't share masks.
+        micro = self.global_step * self.grad_accum
         for epoch in range(max_epochs):
             if self.global_step >= self.max_steps:
                 break  # don't decode a prefetch batch for a no-op epoch
@@ -397,11 +415,14 @@ class SimPOTrainer:
                     arrs["text_ids"], arrs["text_mask"],
                     arrs["chosen_pixels"], arrs["rejected_pixels"],
                     rng=jax.random.fold_in(
-                        jax.random.PRNGKey(self.seed), self.global_step
+                        jax.random.PRNGKey(self.seed), micro
                     ),
                 )
-                self.global_step += 1
+                micro += 1
                 samples += len(batch_items)
+                if micro % self.grad_accum:
+                    continue  # accumulation micro-batch — no update yet
+                self.global_step += 1
 
                 if (self.global_step % self.log_steps == 0
                         or self.global_step == 1) and self.is_main:

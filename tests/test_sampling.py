@@ -54,3 +54,38 @@ def test_top_p_excludes_tail():
         lambda k: sample_token(k, logits, temperature=1.0, top_p=0.5)
     )(keys)
     assert set(np.asarray(samples).ravel().tolist()) == {0}
+
+
+def test_top_p_tied_probabilities_keep_prefix_only():
+    """Index-based nucleus mask: with UNIFORM logits a value threshold
+    would keep all V tokens (everything ties the cutoff), silently
+    disabling nucleus sampling; the sorted-prefix mask keeps ~top_p·V."""
+    from ospo_tpu.ops.sampling import top_p_filter
+
+    v = 100
+    logits = jnp.zeros((1, v), jnp.float32)
+    out = np.asarray(top_p_filter(logits, 0.1))
+    kept = int(np.isfinite(out).sum())
+    # ~0.1·V, ±1 for float cumsum rounding at the exact boundary —
+    # the point is kept << V (the old value threshold kept all 100)
+    assert 10 <= kept <= 11
+
+
+def test_top_p_zero_keeps_top_token():
+    from ospo_tpu.ops.sampling import top_p_filter
+
+    logits = jnp.asarray([[0.1, 3.0, 1.0]], jnp.float32)
+    out = np.asarray(top_p_filter(logits, 0.0))
+    assert np.isfinite(out[0, 1])          # argmax survives
+    assert not np.isfinite(out[0, 0]) and not np.isfinite(out[0, 2])
+
+
+def test_top_p_normal_case_matches_hf_cutoff():
+    from ospo_tpu.ops.sampling import top_p_filter
+
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]], jnp.float32))
+    out = np.asarray(top_p_filter(logits, 0.7))
+    # prev-mass: 0, .5, .8, .95 → keep first two (HF: last kept is the one
+    # whose preceding cumulative mass first reaches top_p)
+    np.testing.assert_array_equal(np.isfinite(out[0]),
+                                  [True, True, False, False])

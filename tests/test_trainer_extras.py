@@ -108,3 +108,38 @@ def test_quantize_base_qlora_step(tmp_path):
     assert np.isfinite(float(m["loss"]))
     after = np.asarray(trainer.trainable["q_proj"]["b"])
     assert not np.array_equal(before, after)
+
+
+class _StubDataset:
+    """Minimal iter_batches provider for fit()-level tests (no disk)."""
+
+    def __init__(self, cfg, n):
+        self.cfg, self.n = cfg, n
+
+    def _item(self, j):
+        s = self.cfg.gen_image_size
+        rng = np.random.RandomState(j)
+        return {
+            "text_tokens": [1, 2, 3, 4],
+            "chosen_pixels": (rng.rand(s, s, 3) * 2 - 1).astype(np.float32),
+            "rejected_pixels": (rng.rand(s, s, 3) * 2 - 1).astype(np.float32),
+        }
+
+    def iter_batches(self, batch_size, shuffle=True, seed=0):
+        for i in range(0, self.n, batch_size):
+            yield [self._item(j) for j in range(i, min(i + batch_size, self.n))]
+
+
+def test_fit_counts_optimizer_updates_not_micro_batches(tmp_path):
+    """Lightning max_steps semantics: with gradient accumulation k, one
+    global step = k micro-batches (optax.MultiSteps applies one update
+    per k).  Counting micro-batches would run 1/k of the reference's
+    updates and leave the LR schedule stuck near its start."""
+    trainer, model = make_trainer(tmp_path, accum=2)
+    trainer.max_steps = 2
+    p0 = np.asarray(trainer.trainable["q_proj"]["b"]).copy()
+    data = _StubDataset(model.cfg, 16)
+    trainer.fit(data, batch_size=2, max_epochs=1)
+    # 2 optimizer updates consumed 4 micro-batches of the 8 available
+    assert trainer.global_step == 2
+    assert not np.array_equal(p0, np.asarray(trainer.trainable["q_proj"]["b"]))
