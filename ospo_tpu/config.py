@@ -94,15 +94,30 @@ _INTERP_RE = re.compile(r"\$\{([a-zA-Z0-9_.]+)\}")
 
 
 def _interpolate(tree: dict) -> dict:
-    """Resolve ``${dotted.key}`` references against the root config."""
+    """Resolve ``${dotted.key}`` references against the root config.
+
+    OmegaConf semantics: chained references (``a: ${b}``, ``b: ${c}``)
+    resolve transitively, a missing key RAISES (a typo'd reference must
+    not flow downstream as None/'None'), and cycles are detected."""
+
+    resolving: set = set()
 
     def lookup(dotted: str) -> Any:
+        if dotted in resolving:
+            raise ValueError(
+                f"circular config interpolation through ${{{dotted}}}")
         node: Any = tree
         for part in dotted.split("."):
             if not isinstance(node, Mapping) or part not in node:
-                return None
+                raise KeyError(
+                    f"config interpolation ${{{dotted}}} does not resolve "
+                    f"(no key {part!r})")
             node = node[part]
-        return node
+        resolving.add(dotted)
+        try:
+            return resolve(node)  # the target may itself interpolate
+        finally:
+            resolving.discard(dotted)
 
     def resolve(value: Any) -> Any:
         if isinstance(value, str):
@@ -164,17 +179,21 @@ def build_config(
     return Config.from_nested(cfg)
 
 
-def compose_config(config_dir: str, base_name: str, overrides=()) -> Config:
+def compose_config(config_dir: str, base_name: str, overrides=None) -> Config:
     """Minimal Hydra-style composition for the inference entry point.
 
     Supports a ``defaults: [{group: name}, ...]`` list in the base YAML:
     each entry loads ``<config_dir>/<group>/<name>.yaml`` under key
     ``<group>``.  Mirrors ``configs/inference.yaml`` composition in the
-    reference (``ospo/inference.py:253-255``).
+    reference (``ospo/inference.py:253-255``).  ``overrides=None`` (the
+    default) reads ``a.b=c`` dot-list overrides from the command line —
+    the reference composes "Hydra + CLI overrides"; pass an explicit
+    list (or ``()``) to compose without touching ``sys.argv``.
     """
     base = load_yaml(os.path.join(config_dir, f"{base_name}.yaml"))
     defaults = base.pop("defaults", [])
     tree: dict = {}
+    saw_self = False
     for entry in defaults:
         if isinstance(entry, Mapping):
             for group, name in entry.items():
@@ -183,9 +202,16 @@ def compose_config(config_dir: str, base_name: str, overrides=()) -> Config:
                 sub = load_yaml(os.path.join(config_dir, str(group), f"{name}.yaml"))
                 tree = _deep_merge(tree, {str(group): sub})
         elif entry == "_self_":
+            saw_self = True
             tree = _deep_merge(tree, base)
-    tree = _deep_merge(tree, base)
-    if overrides:
+    if not saw_self:
+        # Hydra: without an explicit _self_ the primary config merges
+        # last; WITH one, its position decides — re-merging it here would
+        # silently undo group overrides listed after _self_
+        tree = _deep_merge(tree, base)
+    if overrides is None:
+        tree = _deep_merge(tree, from_cli())
+    elif overrides:
         tree = _deep_merge(tree, from_cli(list(overrides)))
     tree = _interpolate(tree)
     return Config.from_nested(tree)

@@ -247,7 +247,10 @@ def write_synthetic_checkpoint(path: str, cfg: "janus_lib.JanusConfig",
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "config.json"), "w") as f:
-        json.dump(_hf_config(cfg), f, indent=2)
+        # ospo_synthetic marks a tokenizer-less dress-rehearsal checkpoint:
+        # load_tokenizer may byte-fall-back for these (a REAL checkpoint
+        # dir missing its tokenizer.json is an error instead)
+        json.dump({**_hf_config(cfg), "ospo_synthetic": True}, f, indent=2)
 
     gen = torch.Generator().manual_seed(seed)
     shard: Dict[str, "torch.Tensor"] = {}

@@ -24,11 +24,15 @@ def main(config) -> None:
         os.makedirs(base["save_path"], exist_ok=True)
 
     exp = config.experiment or {}
-    set_seed(int(exp.get("seed", 42)))
+    # a blank `seed:` in YAML is a PRESENT None (defeats .get's default),
+    # and `or 42` would also eat an explicit seed: 0
+    seed = exp.get("seed")
+    seed = 42 if seed is None else int(seed)
+    set_seed(seed)
 
     model_cfg = dict(config.model or {})
     model_cfg.setdefault("model_preset", config.get("model_preset"))
-    model_cfg.setdefault("seed", exp.get("seed", 42))
+    model_cfg.setdefault("seed", seed)
     # training shards ONE global batch over every process's chips — the
     # factory mesh must span the whole jax.distributed world (generation
     # steps keep the per-process 'local' default; see model_factory)

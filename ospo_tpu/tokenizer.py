@@ -194,8 +194,27 @@ def load_tokenizer(model_path: Optional[str], vocab_size: int = 512) -> BaseToke
     if model_path:
         if model_path.endswith(".json") and os.path.isfile(model_path):
             return HFTokenizer(model_path)
-        if os.path.isdir(model_path) and os.path.isfile(
-            os.path.join(model_path, "tokenizer.json")
-        ):
-            return HFTokenizer(model_path)
+        if os.path.isdir(model_path):
+            if os.path.isfile(os.path.join(model_path, "tokenizer.json")):
+                return HFTokenizer(model_path)
+            cfg_path = os.path.join(model_path, "config.json")
+            synthetic = False
+            if os.path.isfile(cfg_path):
+                try:
+                    import json
+
+                    with open(cfg_path) as f:
+                        synthetic = bool(json.load(f).get("ospo_synthetic"))
+                except Exception:
+                    pass
+            if synthetic:  # dress-rehearsal checkpoints carry no tokenizer
+                print(f"# synthetic checkpoint {model_path}: byte tokenizer")
+                return ByteTokenizer(vocab_size=vocab_size)
+            # a real checkpoint dir WITHOUT its tokenizer must fail loudly:
+            # byte-tokenizing prompts against a 102400-vocab embedding
+            # produces garbage generation with zero diagnostics
+            raise FileNotFoundError(
+                f"{model_path} has no tokenizer.json — a real checkpoint "
+                "dir must ship its tokenizer (the byte fallback is only "
+                "for tokenizer-less tiny/synthetic runs)")
     return ByteTokenizer(vocab_size=vocab_size)
