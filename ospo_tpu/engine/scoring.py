@@ -45,8 +45,14 @@ class ScoringEngine:
         self.mesh = mesh
         # int8 prefix KV cache: halves the dominant suffix-phase HBM
         # stream and the cache footprint, enabling larger cross-item
-        # image batches on a 16 GB chip (quality bound: test_kv_quant.py)
-        self.kv_quant = kv_quant
+        # image batches on a 16 GB chip (quality bound: test_kv_quant.py).
+        # Spellings validate loudly (parse_kv_quant convention)
+        from ospo_tpu.ops.quant import parse_kv_quant
+
+        self.kv_quant = parse_kv_quant(kv_quant)
+        assert self.kv_quant != "int4", \
+            "scoring supports bf16 or int8 prefix caches (int4 KV is a " \
+            "decode-engine option)"
         self._shared_oom = False  # sticky fallback (see score_images)
         tok = processor.tokenizer
         self.yes_ids = [tok("yes", add_special_tokens=False).input_ids[-1],
@@ -182,7 +188,13 @@ class ScoringEngine:
         :meth:`prepare_shared_multi`, typically built on a prefetch
         thread) so the shared path skips straight to device work."""
         assert len(images) == len(questions_per_image)
-        if share_prefix and not self._shared_oom:
+        if not images:
+            return []
+        # items with EMPTY question lists can't ride the shared-prefix
+        # program (no suffix rows to build); the batched fallback scores
+        # them as zero-question results, same as the reference's loop
+        if (share_prefix and not self._shared_oom
+                and all(qs for qs in questions_per_image)):
             try:
                 return self._execute_shared_multi(
                     prep if prep is not None else
@@ -237,6 +249,12 @@ class ScoringEngine:
         previous chunk (``step4.run_scoring`` overlaps them)."""
         from ospo_tpu.parallel import mesh as mesh_lib
 
+        if not images or any(not qs for qs in questions_per_image):
+            # fail HERE (prefetch threads catch and fall back) rather
+            # than as an IndexError deep in the suffix packing
+            raise ValueError(
+                "shared-prefix scoring needs ≥1 image and ≥1 question "
+                "per image; use the unshared path for empty items")
         n_real = len(images)
         # image batch must divide across the data axis — pad with repeats
         # of the last image and trim the scores afterwards

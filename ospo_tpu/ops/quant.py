@@ -111,7 +111,6 @@ def unpack_int4_halves(q4: jax.Array):
 def dequantize_matrix_int4(qw: Dict[str, jax.Array],
                            dtype=jnp.bfloat16) -> jax.Array:
     low, high = unpack_int4_halves(qw["q4"])
-    f2 = qw["q4"].shape[-2]
     w = jnp.concatenate([low, high], axis=-2).astype(jnp.float32)
     return (w * qw["s"][..., None]).astype(dtype)
 
@@ -238,6 +237,13 @@ def quantize_janus_params(params: Dict[str, Any],
 
 
 def hbm_bytes(tree) -> int:
-    return sum(
-        x.size * x.dtype.itemsize for x in jax.tree.leaves(tree)
-    )
+    """Device-footprint bytes, int4-aware: ml_dtypes reports itemsize 1
+    for jnp.int4 but the HBM representation packs two nibbles per byte
+    (quantize_matrix_int4_native's whole point)."""
+    total = 0
+    for x in jax.tree.leaves(tree):
+        if str(x.dtype) in ("int4", "uint4"):
+            total += (x.size + 1) // 2
+        else:
+            total += x.size * x.dtype.itemsize
+    return total

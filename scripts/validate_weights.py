@@ -48,10 +48,12 @@ def tree_stats(params) -> dict:
     import jax
     import jax.numpy as jnp
 
+    from ospo_tpu.ops.quant import hbm_bytes
+
     out = {}
     for mod, sub in params.items():
         leaves = jax.tree.leaves(sub)
-        n_bytes = sum(x.size * x.dtype.itemsize for x in leaves)
+        n_bytes = hbm_bytes(leaves)  # int4-aware (0.5 byte/element)
         finite = all(bool(jnp.isfinite(x.astype(jnp.float32)).all())
                      for x in leaves)
         big = [x for x in leaves if x.size >= 1024]
@@ -165,14 +167,21 @@ def _weight_fingerprint(model) -> list:
 
     # probe a leaf that weight quantization never touches, so the
     # bf16-reference process and the int8/int4-serving process
-    # fingerprint identically iff they loaded the same checkpoint
-    probe = model.params["language_model"]["embed"]
-    flat = np.asarray(probe[0][:8], dtype=np.float32)
-    return [round(float(x), 5) for x in flat]
+    # fingerprint identically iff they loaded the same checkpoint.
+    # stats over SEVERAL spread rows — row 0 alone is often an all-zero
+    # pad slot in real checkpoints, which would make the check vacuous
+    emb = model.params["language_model"]["embed"]
+    v = int(emb.shape[0])
+    flat = []
+    for r in (1, v // 2, v - 1):
+        row = np.asarray(emb[r], dtype=np.float32)
+        flat += [float(row.mean()), float(row.std())]
+    flat += [float(x) for x in np.asarray(emb[0][:2], dtype=np.float32)]
+    return [round(x, 5) for x in flat]
 
 
 def phase_divergence(model, processor, n_tokens: int, batch: int,
-                     weight_divergence: bool, model_path: str,
+                     weight_divergence: bool,
                      export_reference: str = None,
                      compare_reference: str = None,
                      quantize_label: str = "int8") -> dict:
@@ -204,14 +213,21 @@ def phase_divergence(model, processor, n_tokens: int, batch: int,
     if compare_reference:
         with open(os.path.join(compare_reference, "meta.json")) as f:
             meta = json.load(f)
-        assert meta["batch"] == batch and meta["n_tokens"] >= 1, meta
+        want_tokens = min(n_tokens, cfg.num_gen_tokens)
+        if meta["batch"] != batch or meta["n_tokens"] != want_tokens:
+            raise SystemExit(
+                f"reference shape mismatch: {compare_reference} was "
+                f"exported with batch={meta['batch']} "
+                f"n_tokens={meta['n_tokens']}, this run uses "
+                f"batch={batch} n_tokens={want_tokens} — re-export or "
+                f"pass matching --batch/--tokens")
         # refuse to score against a reference exported from DIFFERENT
         # weights (stale dir, wrong --model_path): the gate would emit a
         # plausible-looking KL for a nonsense comparison
         fp = _weight_fingerprint(model)
         ref_fp = meta.get("weight_fingerprint")
-        if ref_fp is not None and any(
-                abs(a - b) > 1e-4 for a, b in zip(fp, ref_fp)):
+        if ref_fp is not None and (len(ref_fp) != len(fp) or any(
+                abs(a - b) > 1e-4 for a, b in zip(fp, ref_fp))):
             raise SystemExit(
                 f"weight fingerprint mismatch: this process loaded "
                 f"{fp} but the reference at {compare_reference} was "
@@ -369,6 +385,13 @@ def main(argv=None) -> dict:
 
     t0 = time.time()
     phases = [p.strip() for p in args.phases.split(",") if p.strip()]
+    known_phases = {"port", "modules", "divergence", "samples"}
+    unknown = [p for p in phases if p not in known_phases]
+    if unknown:
+        # a typo'd phase must not silently drop a validation gate (a
+        # missing report key reads as "passed")
+        parser.error(f"unknown phase(s) {unknown}; "
+                     f"valid: {sorted(known_phases)}")
     if not args.model_path and not args.model_preset:
         parser.error("one of --model_path / --model_preset is required")
     config = Config.from_nested({
@@ -390,7 +413,7 @@ def main(argv=None) -> dict:
     if "divergence" in phases:
         report["divergence"] = phase_divergence(
             model, processor, args.tokens, args.batch,
-            args.weight_divergence, args.model_path,
+            args.weight_divergence,
             export_reference=args.export_reference,
             compare_reference=args.compare_reference,
             quantize_label=args.quantize)
