@@ -35,6 +35,11 @@ def _bucket(n: int, step: int = 64) -> int:
 
 
 class TextGenEngine:
+    # prompts whose common token prefix is shorter than this run the plain
+    # path — below it the shared-prefix program's extra B=1 prefill pass
+    # outweighs the savings
+    SHARED_PREFIX_MIN = 64
+
     def __init__(
         self,
         model: janus_lib.JanusModel,
@@ -46,6 +51,7 @@ class TextGenEngine:
         kv_quant: bool = False,
         mesh=None,
         batch_cap: int = None,
+        shared_prefix: Optional[bool] = None,
     ):
         self.model = model
         self.processor = processor
@@ -63,11 +69,23 @@ class TextGenEngine:
         # cap the power-of-two batch bucket at the configured batch size
         # (HBM-tuned; rounding a full batch up re-OOMs the budget)
         self.batch_cap = batch_cap
+        # shared-prefix decode (steps 1/2/4a batch few-shot prompts whose
+        # template prefix is identical across rows): the prefix KV is
+        # prefilled ONCE at batch 1 and read as a batch-shared attention
+        # segment — 1/B the prefix prefill FLOPs, 1/B its cache HBM, and
+        # the decode loop streams it once per step instead of B times.
+        # Exact math (joint softmax; parity test in test_text_engine.py).
+        # None → on, unless OSPO_SHARED_PREFIX=0
+        if shared_prefix is None:
+            import os
+            shared_prefix = os.environ.get("OSPO_SHARED_PREFIX", "1") != "0"
+        self.shared_prefix = bool(shared_prefix)
 
     @classmethod
     def from_generation_config(cls, model, processor, gen_cfg,
                                kv_quant=False,
-                               batch_cap=None) -> "TextGenEngine":
+                               batch_cap=None,
+                               shared_prefix=None) -> "TextGenEngine":
         """Build from a step-config ``generation_config`` block (same keys
         as the HF kwargs the reference passes through).  Inherits the
         model's serving mesh when the factory sharded it; ``kv_quant``
@@ -87,6 +105,7 @@ class TextGenEngine:
             kv_quant=parse_kv_quant(kv_quant),
             mesh=getattr(model, "mesh", None),
             batch_cap=batch_cap,
+            shared_prefix=shared_prefix,
         )
 
     # ------------------------------------------------------------------
@@ -99,7 +118,6 @@ class TextGenEngine:
         cfg = self.model.cfg
         b, t_prompt = tokens.shape
         s_max = t_prompt + max_new
-        eos = self.processor.tokenizer.eos_id
 
         inputs_embeds = janus_lib.embed_text(params, tokens)
         positions = llama.positions_from_mask(attn_mask)
@@ -112,6 +130,74 @@ class TextGenEngine:
         window_mask = jnp.concatenate(
             [attn_mask, jnp.ones((b, max_new), attn_mask.dtype)], axis=-1
         )
+        return self._decode_loop(params, kv, hidden, prompt_len, window_mask,
+                                 rng, temperature, max_new=max_new,
+                                 do_sample=do_sample, top_p=top_p)
+
+    @functools.partial(
+        jax.jit, static_argnums=(0,),
+        static_argnames=("max_new", "do_sample", "top_p"),
+    )
+    def _generate_shared(self, params, prefix_ids, prefix_mask, tail_ids,
+                         tail_mask, rng, temperature,
+                         *, max_new: int, do_sample: bool,
+                         top_p: Optional[float]):
+        """Shared-prefix variant of :meth:`_generate` — ONE program (the
+        prefix KV never crosses a jit boundary, so layout assignment
+        unifies the B=1 prefill writes with every downstream reader):
+
+        1. the common token prefix (few-shot template) prefills at B=1
+           into a bf16 cache — stored ONCE, 1/B the HBM of the plain path
+           (bf16 regardless of ``kv_quant``: at 1/B footprint the halving
+           is irrelevant and the longest context segment keeps full
+           precision);
+        2. per-row tails prefill into a per-row cache holding ONLY
+           tail + generated rows, attending to the shared segment via
+           ``prefix_kv`` (joint softmax — exact math);
+        3. the decode loop streams the shared segment once per step
+           instead of once per row."""
+        cfg = self.model.cfg
+        b, t_tail = tail_ids.shape
+
+        c_b = prefix_ids.shape[1]
+        pkv = llama.init_kv_cache(cfg.language, 1, c_b)
+        p_embeds = janus_lib.embed_text(params, prefix_ids)
+        p_pos = llama.positions_from_mask(prefix_mask)
+        _, pkv = janus_lib.language_forward(
+            params, cfg, p_embeds, prefix_mask, p_pos,
+            kv_cache=pkv, self_attn=True,
+        )
+        prefix = {"k": pkv["k"][:, 0], "v": pkv["v"][:, 0],
+                  "mask": prefix_mask}                    # [L, C, H, Dh] ×2
+        prefix_len = jnp.sum(prefix_mask)                 # same every row
+
+        kv = llama.init_kv_cache(cfg.language, b, t_tail + max_new,
+                                 quantized=self.kv_quant)
+        t_embeds = janus_lib.embed_text(params, tail_ids)
+        # rotary positions continue AFTER the prefix
+        t_pos = prefix_len + llama.positions_from_mask(tail_mask)
+        hidden, kv = janus_lib.language_forward(
+            params, cfg, t_embeds, tail_mask, t_pos,
+            kv_cache=kv, self_attn=True, prefix_kv=prefix,
+        )
+        prompt_len = prefix_len + jnp.sum(tail_mask, axis=-1)
+        window_mask = jnp.concatenate(
+            [tail_mask, jnp.ones((b, max_new), tail_mask.dtype)], axis=-1
+        )
+        return self._decode_loop(params, kv, hidden, prompt_len, window_mask,
+                                 rng, temperature, max_new=max_new,
+                                 do_sample=do_sample, top_p=top_p,
+                                 prefix=prefix)
+
+    def _decode_loop(self, params, kv, hidden, prompt_len, window_mask,
+                     rng, temperature, *, max_new: int, do_sample: bool,
+                     top_p: Optional[float], prefix=None):
+        """Sampling loop shared by the plain and shared-prefix programs
+        (traced inside their jits): per-row EOS tracking, early exit once
+        every row finished, eos-filled [B, max_new] output buffer."""
+        cfg = self.model.cfg
+        b = hidden.shape[0]
+        eos = self.processor.tokenizer.eos_id
 
         def sample(hidden_last, key, done):
             logits = janus_lib.lm_logits(params, hidden_last[:, None, :])[:, 0]
@@ -137,6 +223,7 @@ class TextGenEngine:
             pos = (prompt_len + step - 1)[:, None]
             hidden, kv = janus_lib.language_forward(
                 params, cfg, embeds, window_mask, pos, kv_cache=kv,
+                prefix_kv=prefix,
             )
             key = keys[step]
             tok = sample(hidden[:, -1], key, done)
@@ -165,14 +252,51 @@ class TextGenEngine:
         dp = mesh_lib.data_parallel_size(self.mesh)
         return ((b + dp - 1) // dp) * dp
 
+    def _shared_split(self, prompts: Sequence[str]):
+        """Host half of the shared-prefix path: tokenize, find the common
+        token prefix across the batch, split into (prefix, per-row tails).
+        Returns None when the batch should run the plain path (singleton
+        batch, or common prefix < SHARED_PREFIX_MIN tokens)."""
+        if not self.shared_prefix or len(prompts) < 2:
+            return None
+        tok = self.processor.tokenizer
+        enc = [np.asarray(tok.encode(p), np.int32) for p in prompts]
+        minlen = min(len(e) for e in enc)
+        stacked = np.stack([e[:minlen] for e in enc])
+        neq = (stacked != stacked[0]).any(axis=0)
+        common = minlen if not neq.any() else int(np.argmax(neq))
+        common = min(common, minlen - 1)  # ≥1 tail token (identical prompts)
+        if common < self.SHARED_PREFIX_MIN:
+            return None
+        c_b = _bucket(common)
+        pad_id = self.processor.pad_id
+        prefix_ids = np.full((1, c_b), pad_id, np.int32)
+        prefix_mask = np.zeros((1, c_b), np.int32)
+        prefix_ids[0, c_b - common:] = enc[0][:common]
+        prefix_mask[0, c_b - common:] = 1
+        t_b = _bucket(max(len(e) - common for e in enc))
+        tail_ids = np.full((len(enc), t_b), pad_id, np.int32)
+        tail_mask = np.zeros((len(enc), t_b), np.int32)
+        for i, e in enumerate(enc):
+            t = e[common:]
+            tail_ids[i, t_b - len(t):] = t
+            tail_mask[i, t_b - len(t):] = 1
+        return prefix_ids, prefix_mask, tail_ids, tail_mask
+
     def signature_for(self, prompts: Sequence[str]) -> tuple:
-        """The (batch_bucket, prompt_bucket) compile signature
-        ``generate_ids`` will use for this batch — feed to :meth:`prewarm`.
-        Only the MAX encoded length matters (left-pad target), so this
-        skips building the padded arrays generate_ids will rebuild."""
+        """The compile signature ``generate_ids`` will use for this batch —
+        feed to :meth:`prewarm`.  Plain path: ``("plain", batch_bucket,
+        prompt_bucket)``; shared-prefix path: ``("shared", batch_bucket,
+        prefix_bucket, tail_bucket)`` (same split logic as generate_ids,
+        so prewarm AOT-compiles the program dispatch will actually use)."""
+        split = self._shared_split(prompts)
+        if split is not None:
+            prefix_ids, _, tail_ids, _ = split
+            return ("shared", self._batch_bucket(len(prompts)),
+                    prefix_ids.shape[1], tail_ids.shape[1])
         tok = self.processor.tokenizer
         t_max = max(len(tok.encode(p)) for p in prompts)
-        return self._batch_bucket(len(prompts)), _bucket(t_max)
+        return ("plain", self._batch_bucket(len(prompts)), _bucket(t_max))
 
     def prewarm(self, signatures, max_workers: int = 4) -> int:
         """AOT-compile the decode program for each distinct
@@ -185,25 +309,44 @@ class TextGenEngine:
         of distinct programs compiled."""
         import concurrent.futures
 
-        sigs = sorted({(int(b), int(t)) for b, t in signatures})
+        # legacy (b, t) pairs are plain-path signatures
+        sigs = sorted({("plain",) + tuple(int(x) for x in s)
+                       if not isinstance(s[0], str)
+                       else (s[0],) + tuple(int(x) for x in s[1:])
+                       for s in signatures})
 
         def compile_one(sig):
             from ospo_tpu.parallel import mesh as mesh_lib
 
-            b, t = sig
-            toks = jnp.zeros((b, t), jnp.int32)
-            mask = jnp.ones((b, t), jnp.int32)
-            rng = jax.random.PRNGKey(0)
-            if self.mesh is not None:
+            def dev(a, shard_batch=True):
+                if self.mesh is None:
+                    return a
                 # match generate_ids' input shardings — an unsharded
                 # lowering compiles a DIFFERENT executable and the warm
                 # compile is wasted
-                toks = mesh_lib.shard_on_axis(toks, self.mesh)
-                mask = mesh_lib.shard_on_axis(mask, self.mesh)
-                rng = mesh_lib.replicate(rng, self.mesh)
+                return (mesh_lib.shard_on_axis(a, self.mesh) if shard_batch
+                        else mesh_lib.replicate(a, self.mesh))
+
+            rng = dev(jax.random.PRNGKey(0), shard_batch=False)
+            if sig[0] == "shared":
+                _, b, c, t = sig
+                type(self)._generate_shared.lower(
+                    self, self.model.params,
+                    dev(jnp.zeros((1, c), jnp.int32), shard_batch=False),
+                    dev(jnp.ones((1, c), jnp.int32), shard_batch=False),
+                    dev(jnp.zeros((b, t), jnp.int32)),
+                    dev(jnp.ones((b, t), jnp.int32)),
+                    rng, jnp.float32(self.temperature),
+                    max_new=self.max_new_tokens, do_sample=self.do_sample,
+                    top_p=self.top_p,
+                ).compile()
+                return
+            _, b, t = sig
             type(self)._generate.lower(
-                self, self.model.params, toks, mask, rng,
-                jnp.float32(self.temperature),
+                self, self.model.params,
+                dev(jnp.zeros((b, t), jnp.int32)),
+                dev(jnp.ones((b, t), jnp.int32)),
+                rng, jnp.float32(self.temperature),
                 max_new=self.max_new_tokens, do_sample=self.do_sample,
                 top_p=self.top_p,
             ).compile()
@@ -217,8 +360,17 @@ class TextGenEngine:
 
     def generate_ids(self, prompts: Sequence[str], seed: Optional[int] = None,
                      rng: Optional[jax.Array] = None) -> np.ndarray:
-        """prompt strings → generated ids [B, max_new_tokens] (eos-filled)."""
+        """prompt strings → generated ids [B, max_new_tokens] (eos-filled).
+
+        Dispatches to the shared-prefix program when the batch's prompts
+        share a ≥SHARED_PREFIX_MIN-token common prefix (few-shot templates
+        always do) — same sampling-key schedule and exact attention math,
+        so outputs match the plain path up to float reduction order."""
         b_real = len(prompts)
+        split = self._shared_split(prompts)
+        if split is not None:
+            return self._generate_ids_shared(split, b_real, seed=seed,
+                                             rng=rng)
         input_ids, mask = self.processor.encode_batch_left_padded(prompts)
         t_bucket = _bucket(input_ids.shape[1])
         pad = t_bucket - input_ids.shape[1]
@@ -243,6 +395,39 @@ class TextGenEngine:
             rng = mesh_lib.replicate(rng, self.mesh)
         out = self._generate(
             self.model.params, input_ids, mask, rng,
+            jnp.float32(self.temperature),
+            max_new=self.max_new_tokens, do_sample=self.do_sample,
+            top_p=self.top_p,
+        )
+        return np.asarray(out)[:b_real]
+
+    def _generate_ids_shared(self, split, b_real: int,
+                             seed: Optional[int] = None,
+                             rng: Optional[jax.Array] = None) -> np.ndarray:
+        """Device dispatch for the shared-prefix path: pad the tail batch
+        to its bucket, shard tails on 'data', replicate the prefix."""
+        from ospo_tpu.parallel import mesh as mesh_lib
+
+        prefix_ids, prefix_mask, tail_ids, tail_mask = split
+        b_bucket = self._batch_bucket(b_real)
+        if b_bucket != b_real:
+            reps = b_bucket - b_real
+            tail_ids = np.concatenate(
+                [tail_ids, np.repeat(tail_ids[-1:], reps, 0)])
+            tail_mask = np.concatenate(
+                [tail_mask, np.repeat(tail_mask[-1:], reps, 0)])
+        if rng is None:
+            rng = jax.random.PRNGKey(0 if seed is None else seed)
+        operands = [jnp.asarray(prefix_ids), jnp.asarray(prefix_mask),
+                    jnp.asarray(tail_ids), jnp.asarray(tail_mask)]
+        if self.mesh is not None:
+            operands[0] = mesh_lib.replicate(operands[0], self.mesh)
+            operands[1] = mesh_lib.replicate(operands[1], self.mesh)
+            operands[2] = mesh_lib.shard_on_axis(operands[2], self.mesh)
+            operands[3] = mesh_lib.shard_on_axis(operands[3], self.mesh)
+            rng = mesh_lib.replicate(rng, self.mesh)
+        out = self._generate_shared(
+            self.model.params, *operands, rng,
             jnp.float32(self.temperature),
             max_new=self.max_new_tokens, do_sample=self.do_sample,
             top_p=self.top_p,

@@ -317,6 +317,7 @@ def forward(
     cache_head_major: bool = False,
     cache_layout: Optional[str] = None,
     cache_positions: Optional[jax.Array] = None,
+    prefix_kv: Optional[Dict[str, jax.Array]] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """Run the decoder trunk; returns final-norm hidden states.
 
@@ -344,6 +345,17 @@ def forward(
     requires the batch-minor ``"shbd"`` layout (and falls back to the XLA
     read path when the flattened H·B axis is not 128-aligned); per-row
     ``cache_positions`` supports ``"bshd"`` and ``"bhsd"``.
+
+    ``prefix_kv`` ``{"k": [L, C, KVH, Dh], "v": [L, C, KVH, Dh],
+    "mask": [C]/[1,C]/[B,C]}`` adds a BATCH-SHARED read-only KV segment
+    preceding every cached position — the text engine's shared-prefix
+    decode stores a few-shot template's KV once instead of per batch row
+    (1/B the prefix HBM and per-step read traffic).  The per-layer slices
+    ride the layer scan as xs (read-only — no cache copy); the caller owns
+    the rotary-position offset (positions of the new tokens must continue
+    AFTER the prefix).  Supported with ``self_attn`` prefill and standard
+    cached decode; not with ``decode_kernel`` / per-row offsets / the
+    fast-decode xs path.
     """
     x = inputs_embeds.astype(cfg.dtype)
     cos, sin = rope_frequencies(cfg, positions)
@@ -384,10 +396,13 @@ def forward(
                                lora_scaling, lora_dropout, lkey)
 
     def finish_layer(x, lp, llora, q, k_att, v_att, q_offset, att_mask,
-                     lkey=None, kv_layout="bshd"):
+                     lkey=None, kv_layout="bshd", pk=None, pv=None):
         attn_out = attention(q, k_att, v_att, mask=att_mask,
                              q_offset=q_offset, causal=True, impl=attn_impl,
-                             kv_layout=kv_layout)
+                             kv_layout=kv_layout,
+                             prefix_k=pk, prefix_v=pv,
+                             prefix_mask=(prefix_kv["mask"]
+                                          if pk is not None else None))
         return post_attention(x, lp, llora, attn_out, lkey)
 
     if use_cache:
@@ -427,6 +442,11 @@ def forward(
         if per_row:
             assert layout != "shbd", (
                 "per-row cache offsets (SJD) not supported batch-minor")
+        if prefix_kv is not None:
+            assert not (per_row or decode_kernel), (
+                "prefix_kv (batch-shared KV segment) is supported on the "
+                "standard cached path only — not SJD per-row offsets or "
+                "the Pallas decode kernel")
 
         # fresh-row permutation [B,T,H,D] → cache row order, and the DUS
         # start index for the shared-offset write
@@ -496,6 +516,7 @@ def forward(
         # throughput.
         fast_decode = T == 1 and not self_attn and not per_row \
             and not decode_kernel and not int4_cache \
+            and prefix_kv is None \
             and os.environ.get("OSPO_FAST_DECODE", "0") == "1"
         cache0 = {k_: v_ for k_, v_ in kv_cache.items() if k_ != "length"}
         if fast_decode:
@@ -589,7 +610,9 @@ def forward(
 
         def layer_body(carry, layer_in):
             x, cache = carry
-            lp, llora, li = layer_in
+            lp, llora, li = layer_in[:3]
+            # batch-shared prefix KV slices ride the scan as xs (read-only)
+            pk, pv = layer_in[3:] if len(layer_in) > 3 else (None, None)
             q, k, v = qkv(x, lp, llora)
             # permute the fresh [B,T,H,D] rows to the cache's row order
             # (position-major writes the projection output untouched)
@@ -625,7 +648,8 @@ def forward(
                                  v_w.astype(cache["v"].dtype), None)
 
             if self_attn:
-                x = finish_layer(x, lp, llora, q, k, v, 0, attention_mask)
+                x = finish_layer(x, lp, llora, q, k, v, 0, attention_mask,
+                                 pk=pk, pv=pv)
             elif decode_kernel and T == 1:
                 # Pallas decode attention: DMAs only the populated cache
                 # prefix from HBM in contiguous position blocks (the whole
@@ -668,33 +692,38 @@ def forward(
                         return jnp.transpose(s, (2, 1, 0)) \
                             if layout == "shbd" else s
 
-                    pk = "q4" if int4_cache else "q"
-                    k_att = {pk: at("k", pos_ax), "s": scales("k_s")}
-                    v_att = {pk: at("v", pos_ax), "s": scales("v_s")}
+                    qkey = "q4" if int4_cache else "q"
+                    k_att = {qkey: at("k", pos_ax), "s": scales("k_s")}
+                    v_att = {qkey: at("v", pos_ax), "s": scales("v_s")}
                 else:
                     k_att, v_att = at("k", pos_ax), at("v", pos_ax)
                 q_off = cache_positions if per_row else cache_len
                 x = finish_layer(x, lp, llora, q, k_att, v_att, q_off,
-                                 attention_mask, kv_layout=layout)
+                                 attention_mask, kv_layout=layout,
+                                 pk=pk, pv=pv)
             return (x, cache), None
 
         if remat:
             layer_body = jax.checkpoint(layer_body)
         layer_idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        pxs = () if prefix_kv is None else (prefix_kv["k"], prefix_kv["v"])
         if lora is None:
             (x_final, cache_out), _ = jax.lax.scan(
-                lambda c, t: layer_body(c, (t[0], None, t[1])),
+                lambda c, t: layer_body(c, (t[0], None, t[1]) + tuple(t[2:])),
                 (x, cache0),
-                (params["layers"], layer_idx),
+                (params["layers"], layer_idx) + pxs,
             )
         else:
             (x_final, cache_out), _ = jax.lax.scan(
                 layer_body,
                 (x, cache0),
-                (params["layers"], lora, layer_idx),
+                (params["layers"], lora, layer_idx) + pxs,
             )
         new_cache = {**cache_out, "length": kv_cache["length"] + T}
     else:
+        assert prefix_kv is None, \
+            "prefix_kv requires a KV cache (serving path only)"
+
         def layer_body(x, layer_in):
             lp, llora, lkey = layer_in
             q, k, v = qkv(x, lp, llora, lkey)

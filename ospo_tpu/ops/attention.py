@@ -55,6 +55,9 @@ def xla_attention(
     q_offset,
     causal: bool = True,
     kv_layout: str = "bshd",
+    prefix_k: Optional[jax.Array] = None,
+    prefix_v: Optional[jax.Array] = None,
+    prefix_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """k / v may be plain arrays, int8-quantized dicts
     ``{"q": int8, "s": f32 [B,KVH,S]}`` or int4 head-pair-packed dicts
@@ -66,7 +69,18 @@ def xla_attention(
     no dequantised copy.  ``kv_layout`` selects the axis order of k & v:
     ``bshd`` (fresh self-attention chunks / the position-major cache),
     ``bhsd`` (head-major cache) or ``shbd`` (batch-minor cache) — einsum
-    consumes any of them without a transposed copy."""
+    consumes any of them without a transposed copy.
+
+    ``prefix_k`` / ``prefix_v`` ([C, KVH, Dh], bf16) add a BATCH-SHARED
+    key/value segment stored once instead of per-row — the mechanism
+    behind the text engine's shared-prefix decode (every batch row of a
+    few-shot prompt shares the template prefix, so its KV is kept at 1/B
+    the HBM and streamed once per step instead of B times).  Contract:
+    every prefix position precedes every query (no causal check inside
+    the segment); ``prefix_mask`` ([C] or [1, C] or [B, C]) marks valid
+    (non-pad) prefix rows.  The joint softmax runs over
+    ``[prefix ++ own]`` scores, so results are exact (same math as
+    materialising the prefix per row, up to reduction order)."""
     B, T, H, Dh = q.shape
     int4 = isinstance(k, dict) and "q4" in k
     if isinstance(k, dict):
@@ -125,7 +139,34 @@ def xla_attention(
         allowed = allowed & (k_rows <= q_rows)[:, None, :, :]
 
     scores = jnp.where(allowed, scores, _NEG_INF)
+
+    C = 0
+    if prefix_k is not None:
+        # batch-shared segment [C, KVH, Dh]: the einsum broadcasts it
+        # across the batch — no [B, C] materialisation, and the HBM read
+        # of the segment happens once per step, not once per row
+        C = prefix_k.shape[0]
+        pk, pv = prefix_k, prefix_v
+        if pk.shape[1] != H:  # GQA head groups
+            reps = H // pk.shape[1]
+            pk = jnp.repeat(pk, reps, axis=1)
+            pv = jnp.repeat(pv, reps, axis=1)
+        scores_p = jnp.einsum(
+            "bthd,chd->bhtc", q.astype(jnp.float32),
+            pk.astype(jnp.float32)) * scale
+        if prefix_mask is not None:
+            pm = prefix_mask.astype(bool)
+            if pm.ndim == 1:
+                pm = pm[None]
+            scores_p = jnp.where(pm[:, None, None, :], scores_p, _NEG_INF)
+        # joint softmax over [prefix ++ own] — exact, not an approximation
+        scores = jnp.concatenate([scores_p, scores], axis=-1)
+
     probs = jax.nn.softmax(scores, axis=-1)
+    out_p = None
+    if prefix_k is not None:
+        p_pre, probs = probs[..., :C], probs[..., C:]
+        out_p = jnp.einsum("bhtc,chd->bthd", p_pre, pv.astype(jnp.float32))
     if v_scale is not None:
         probs = probs * v_scale[:, :, None, :]
     if int4:
@@ -139,6 +180,8 @@ def xla_attention(
     else:
         out = jnp.einsum(f"bhts,{kv_sub}->bthd", probs,
                          v_vals.astype(jnp.float32))
+    if out_p is not None:
+        out = out + out_p
     return out.astype(q.dtype)
 
 
@@ -226,15 +269,23 @@ def attention(
     causal: bool = True,
     impl: str = "auto",
     kv_layout: str = "bshd",
+    prefix_k: Optional[jax.Array] = None,
+    prefix_v: Optional[jax.Array] = None,
+    prefix_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatch to the Pallas flash kernel when profitable, else XLA.
 
     Flash is used for TPU self-attention prefill (T == S, static offset 0):
     that is where the O(T²) score matrix would otherwise round-trip HBM.
-    Decode steps (T == 1) and cache-layout reads stay on the XLA path.
+    Decode steps (T == 1), cache-layout reads, and batch-shared prefix
+    segments (``prefix_k``/``prefix_v`` — the flash kernel has no notion
+    of an extra KV segment) stay on the XLA path.
     """
-    if impl == "xla" or isinstance(k, dict) or kv_layout != "bshd":
-        return xla_attention(q, k, v, mask, q_offset, causal, kv_layout)
+    if (impl == "xla" or isinstance(k, dict) or kv_layout != "bshd"
+            or prefix_k is not None):
+        return xla_attention(q, k, v, mask, q_offset, causal, kv_layout,
+                             prefix_k=prefix_k, prefix_v=prefix_v,
+                             prefix_mask=prefix_mask)
 
     # flash masks keys at j <= i (row-local causality) — it has no notion
     # of a query offset, so any nonzero/traced q_offset MUST stay on the

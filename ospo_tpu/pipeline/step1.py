@@ -55,6 +55,7 @@ def generate_elements(config, model, processor) -> List[str]:
         model, processor, config.generation_config,
         kv_quant=config.get("kv_quant"),
         batch_cap=int(config.batch_size or 0) or None,
+        shared_prefix=config.get("shared_prefix"),
     )
     system, conversation = get_element_conversation(category)
     prompt = chat.apply_sft_template(conversation, system_prompt=system)

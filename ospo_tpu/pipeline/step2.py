@@ -161,6 +161,7 @@ def main(config) -> None:
         model, processor, config.generation_config,
         kv_quant=config.get("kv_quant"),
         batch_cap=int(config.batch_size or 0) or None,
+        shared_prefix=config.get("shared_prefix"),
     )
 
     # 1. negative prompt generation — skip-if-exists resume: a completed
