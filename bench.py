@@ -256,6 +256,10 @@ def bench_text(preset: str) -> None:
     for b in batches:
         try:
             prompts = [prompt] * b
+            # which program this batch dispatches to ("shared" = the
+            # template-prefix KV is stored once; OSPO_SHARED_PREFIX=0
+            # reverts to the per-row plain path for A/B runs)
+            kind = engine.signature_for(prompts)[0]
             t0 = time.time()
             engine.generate_ids(prompts, seed=0)
             compile_s = time.time() - t0
@@ -267,7 +271,7 @@ def bench_text(preset: str) -> None:
             dt = min(times)
             assert out.shape == (b, max_new)
             print(f"# text preset={preset} batch={b} max_new={max_new} "
-                  f"compile={compile_s:.1f}s decode={dt:.2f}s",
+                  f"path={kind} compile={compile_s:.1f}s decode={dt:.2f}s",
                   file=sys.stderr)
             print(json.dumps({
                 "metric": "text-tokens/sec/chip",
