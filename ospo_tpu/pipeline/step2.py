@@ -71,10 +71,22 @@ def build_negative_prompts(batch: List[dict], i: int, seed: int):
     return prompts, keep
 
 
+def _template_grouped(data: List[dict]) -> List[dict]:
+    """Stable-sort samples so each batch shares one few-shot template per
+    perturbation index — (sub_category, perturbed_method) determine the
+    rendered template, and the text engine's shared-prefix program stores
+    that ~600–1200-token prefix once per batch instead of once per row.
+    Callers mutate samples in place and return the ORIGINAL list, so the
+    saved artifact's order is unchanged."""
+    return sorted(data, key=lambda s: (str(s.get("sub_category", "")),
+                                       tuple(s.get("perturbed_method", ()))))
+
+
 def run_negative(config, engine: TextGenEngine, data: List[dict]) -> List[dict]:
     seed_list = list(config.seed_list)
-    output: List[dict] = []
-    for bidx, batch in enumerate(batched(data, int(config.batch_size or 8))):
+    grouped = _template_grouped(data)
+    done = 0
+    for bidx, batch in enumerate(batched(grouped, int(config.batch_size or 8))):
         outputs_by_index: List[List[str]] = []
         for i in range(3):
             prompts, keep = build_negative_prompts(batch, i, seed_list[i])
@@ -88,9 +100,9 @@ def run_negative(config, engine: TextGenEngine, data: List[dict]) -> List[dict]:
             ])
         for s_idx, sample in enumerate(batch):
             sample["negative_prompt"] = [outputs_by_index[i][s_idx] for i in range(3)]
-            output.append(sample)
-        print(f"[step2a] batch {bidx}: {len(output)}/{len(data)} samples")
-    return output
+            done += 1
+        print(f"[step2a] batch {bidx}: {done}/{len(data)} samples")
+    return list(data)
 
 
 # ---------------------------------------------------------------------------
@@ -133,8 +145,9 @@ def build_dense_prompts(batch: List[dict], i: int, seed: int):
 
 def run_dense(config, engine: TextGenEngine, data: List[dict]) -> List[dict]:
     seed_list = list(config.seed_list)
-    output: List[dict] = []
-    for bidx, batch in enumerate(batched(data, int(config.batch_size or 8))):
+    grouped = _template_grouped(data)
+    done = 0
+    for bidx, batch in enumerate(batched(grouped, int(config.batch_size or 8))):
         results: List[List[Tuple[str, str]]] = []
         for i in range(3):
             prompts, keep = build_dense_prompts(batch, i, seed_list[i])
@@ -149,9 +162,9 @@ def run_dense(config, engine: TextGenEngine, data: List[dict]) -> List[dict]:
         for s_idx, sample in enumerate(batch):
             sample["long_prompt"] = [results[i][s_idx][0] for i in range(3)]
             sample["negative_long_prompt"] = [results[i][s_idx][1] for i in range(3)]
-            output.append(sample)
-        print(f"[step2b] batch {bidx}: {len(output)}/{len(data)} samples")
-    return output
+            done += 1
+        print(f"[step2b] batch {bidx}: {done}/{len(data)} samples")
+    return list(data)
 
 
 def main(config) -> None:
@@ -192,7 +205,7 @@ def main(config) -> None:
         # build_negative_prompts)
         sigs = []
         for i in range(3):
-            prompts, _ = build_negative_prompts(data[:bsz], i,
+            prompts, _ = build_negative_prompts(_template_grouped(data)[:bsz], i,
                                                 config.seed_list[i])
             live = [p for p in prompts if p is not None]
             if live:
@@ -207,7 +220,7 @@ def main(config) -> None:
     # (multi-host safe: no cross-host file dependency before the merge)
     sigs = []
     for i in range(3):
-        prompts, _ = build_dense_prompts(negatives[:bsz], i,
+        prompts, _ = build_dense_prompts(_template_grouped(negatives)[:bsz], i,
                                          config.seed_list[i])
         live = [p for p in prompts if p is not None]
         if live:
