@@ -66,6 +66,18 @@ def test_greedy_parity_int8_cache(setup):
                                   plain.generate_ids(prompts, seed=0))
 
 
+def test_greedy_parity_int4_cache(setup):
+    """int4 head-pair-packed own cache composes with the bf16 shared
+    segment (the prefix concat rides the score axis, so the nibble-packed
+    head order is unaffected)."""
+    _, model, proc = setup
+    shared, plain = _engines(model, proc, max_new_tokens=6, do_sample=False,
+                             kv_quant="int4")
+    prompts = [COMMON + "a red apple", COMMON + "two dogs"]
+    np.testing.assert_array_equal(shared.generate_ids(prompts, seed=0),
+                                  plain.generate_ids(prompts, seed=0))
+
+
 def test_identical_prompts_step1_pattern(setup):
     """Step 1 batches the SAME prompt B times (sampling provides the
     diversity): common prefix = all-but-last-token; deterministic per
