@@ -250,12 +250,18 @@ def bench_text(preset: str) -> None:
     batch_env = os.environ.get("OSPO_BENCH_BATCH")
     batches = [int(batch_env)] if batch_env else [64, 48, 32, 16]  # 80 OOMs
     prompt = "A" * int(os.environ.get("OSPO_BENCH_PROMPT_LEN", "120"))
+    # step-2-shaped batches: a shared template prefix (PROMPT_LEN) plus a
+    # DISTINCT per-row tail of TAIL_LEN tokens (default 0 → identical rows,
+    # the step-1 shape). Tails break the common prefix exactly where the
+    # per-item text starts, so the shared-prefix program splits there.
+    tail_len = int(os.environ.get("OSPO_BENCH_TAIL_LEN", "0"))
     engine = TextGenEngine(model, proc, max_new_tokens=max_new,
                            temperature=1.0, do_sample=True,
                            kv_quant=os.environ.get("OSPO_BENCH_KV") or False)
     for b in batches:
         try:
-            prompts = [prompt] * b
+            prompts = [prompt + ("%04d" % i) * max(0, (tail_len + 3) // 4)
+                       for i in range(b)] if tail_len else [prompt] * b
             # which program this batch dispatches to ("shared" = the
             # template-prefix KV is stored once; OSPO_SHARED_PREFIX=0
             # reverts to the per-row plain path for A/B runs)

@@ -8,7 +8,13 @@ prefill + ``lax.while_loop`` decode over a preallocated KV cache:
   (B, T_bucket, max_new_tokens) signature compiles once;
 - temperature / top-p / greedy sampling inside the loop (fp32 logits);
 - per-row EOS tracking with early exit once every row has finished —
-  the while_loop stops instead of burning the full token budget.
+  the while_loop stops instead of burning the full token budget;
+- shared-prefix decode: the batch's common token prefix (the few-shot
+  template — step 1 repeats ONE prompt verbatim) prefills once at B=1
+  and is read as a batch-shared attention segment, so its KV costs 1/B
+  the HBM and is streamed once per decode step instead of per row
+  (exact math — ``llama.forward(prefix_kv=...)``; tests in
+  ``test_shared_prefix.py``).
 
 Returns only the newly generated ids (HF semantics for
 ``inputs_embeds``-driven generate).
