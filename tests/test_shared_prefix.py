@@ -155,6 +155,45 @@ def test_shared_prefix_sharded_matches_single_device(setup):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_forward_prefix_kv_matches_materialized(setup):
+    """llama-level invariant: forward(tail, prefix_kv=P) produces the
+    same hidden states as one self-attention prefill over the
+    materialized [prefix ++ tail] sequence (per-row), for B rows sharing
+    the prefix."""
+    from ospo_tpu.models import llama
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    B, C, T = 3, 16, 5
+    key = jax.random.PRNGKey(2)
+    prefix_embeds = jax.random.normal(key, (1, C, cfg.hidden_size))
+    tails = jax.random.normal(jax.random.fold_in(key, 1),
+                              (B, T, cfg.hidden_size))
+
+    # path A: plain prefill over [prefix ++ tail] per row
+    full = jnp.concatenate([jnp.tile(prefix_embeds, (B, 1, 1)), tails], 1)
+    mask_a = jnp.ones((B, C + T), jnp.int32)
+    pos_a = llama.positions_from_mask(mask_a)
+    hidden_a, _ = llama.forward(params, cfg, full, mask_a, pos_a)
+
+    # path B: B=1 prefix prefill → batch-shared segment → tail forward
+    pkv = llama.init_kv_cache(cfg, 1, C)
+    pmask = jnp.ones((1, C), jnp.int32)
+    _, pkv = llama.forward(params, cfg, prefix_embeds, pmask,
+                           llama.positions_from_mask(pmask),
+                           kv_cache=pkv, self_attn=True)
+    prefix = {"k": pkv["k"][:, 0], "v": pkv["v"][:, 0], "mask": pmask}
+    kv = llama.init_kv_cache(cfg, B, T)
+    mask_b = jnp.ones((B, T), jnp.int32)
+    pos_b = C + llama.positions_from_mask(mask_b)
+    hidden_b, _ = llama.forward(params, cfg, tails, mask_b, pos_b,
+                                kv_cache=kv, self_attn=True,
+                                prefix_kv=prefix)
+    np.testing.assert_allclose(np.asarray(hidden_b),
+                               np.asarray(hidden_a[:, C:]),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_env_override_disables(setup, monkeypatch):
     monkeypatch.setenv("OSPO_SHARED_PREFIX", "0")
     _, model, proc = setup
