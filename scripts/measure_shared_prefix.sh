@@ -1,0 +1,67 @@
+#!/bin/bash
+# Round-3 chip measurement campaign (run when the axon tunnel recovers).
+#
+# One subprocess per point — the tunneled chip ignores buffer donation, so
+# a fresh process per measurement is the only reliable HBM reset (see
+# BENCH_NOTES "Measurement pitfalls").  Appends one line per point to
+# $LOG; safe to re-run (skips points already in the log).  Risky
+# (possibly-OOM) large-batch points run LAST so a worker crash can't
+# poison the cheap points.
+#
+# Usage: bash scripts/measure_shared_prefix.sh [logfile]
+set -u
+cd "$(dirname "$0")/.."
+LOG="${1:-outputs-timed/shared_prefix_sweep.log}"
+mkdir -p "$(dirname "$LOG")"
+
+run_point() {
+  local tag="$1"; shift
+  if grep -q "^POINT $tag " "$LOG" 2>/dev/null; then
+    echo "# skip (done): $tag"; return 0
+  fi
+  echo "# running: $tag ($*)"
+  local out
+  out=$(timeout 2400 env "$@" python bench.py 2>>"$LOG.err")
+  local rc=$?
+  echo "POINT $tag rc=$rc $out" >> "$LOG"
+  echo "POINT $tag rc=$rc $out"
+}
+
+# 0. health check (fail the whole campaign fast if the tunnel is down)
+timeout 180 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((128,128), jnp.bfloat16)
+print('health ok', float(jax.jit(lambda a: a@a)(x).sum()))" || {
+  echo "tunnel down — aborting"; exit 2; }
+
+# 1. headline re-verification (post-SJD-fix image decode, serving default)
+run_point image_default OSPO_BENCH_MODE=image
+
+# 2. text A/B at the current serving batch (64): step-1 shape (identical
+#    prompts) and step-2 shape (long template + distinct 48-token tails)
+for SHARED in 1 0; do
+  run_point "text_p120_t0_s${SHARED}"  OSPO_BENCH_MODE=text OSPO_BENCH_BATCH=64 \
+      OSPO_BENCH_PROMPT_LEN=120 OSPO_BENCH_TAIL_LEN=0  OSPO_SHARED_PREFIX=$SHARED
+  run_point "text_p768_t48_s${SHARED}" OSPO_BENCH_MODE=text OSPO_BENCH_BATCH=64 \
+      OSPO_BENCH_PROMPT_LEN=768 OSPO_BENCH_TAIL_LEN=48 OSPO_SHARED_PREFIX=$SHARED
+done
+
+# 3. scoring: bf16-weight prefill + int8 prefix KV (HBM-borderline —
+#    descending rows, stop at the first fit), vs the int8-trunk default
+run_point score_int8_rows14 OSPO_BENCH_MODE=score
+for ROWS in 10 8 6; do
+  run_point "score_bf16_rows${ROWS}" OSPO_BENCH_MODE=score OSPO_BENCH_QUANT= \
+      OSPO_BENCH_SCORE_KV=int8 OSPO_BENCH_SCORE_ROWS=$ROWS
+  grep -q "^POINT score_bf16_rows${ROWS} rc=0 .*pairs" "$LOG" && break
+done
+
+# 4. shared-path batch sweep upward (the old B=80 OOM wall was prefix KV;
+#    riskiest points last, ascending so the first OOM stops the sweep)
+for B in 96 128 192 256; do
+  run_point "text_p768_t48_s1_b${B}" OSPO_BENCH_MODE=text OSPO_BENCH_BATCH=$B \
+      OSPO_BENCH_PROMPT_LEN=768 OSPO_BENCH_TAIL_LEN=48 OSPO_SHARED_PREFIX=1 \
+      || break
+  grep -q "^POINT text_p768_t48_s1_b${B} rc=0 .*\"value\": 0.0" "$LOG" && break
+done
+
+echo "campaign complete — results in $LOG"
