@@ -82,6 +82,23 @@ def _template_grouped(data: List[dict]) -> List[dict]:
                                        tuple(s.get("perturbed_method", ()))))
 
 
+def _collect_signatures(engine: TextGenEngine, grouped: List[dict],
+                        bsz: int, build) -> List[tuple]:
+    """Compile signatures for every (batch, perturbation) the data loop
+    will dispatch — prompt construction is deterministic, so this walks
+    the same grouped batches and feeds ``engine.prewarm`` the exact
+    (kind, batch, prefix, tail) tuples the loop will hit."""
+    sigs = []
+    for start in range(0, len(grouped), bsz):
+        batch = grouped[start:start + bsz]
+        for i in range(3):
+            prompts, _ = build(batch, i)
+            live = [p for p in prompts if p is not None]
+            if live:
+                sigs.append(engine.signature_for(live))
+    return sigs
+
+
 def run_negative(config, engine: TextGenEngine, data: List[dict]) -> List[dict]:
     seed_list = list(config.seed_list)
     grouped = _template_grouped(data)
@@ -199,18 +216,14 @@ def main(config) -> None:
         data = shard_for_process(
             load_base_dataset(data_path, config.get("s_idx"), config.get("e_idx"))
         )
-        # pre-warm the decode programs for the first batch's signatures so
-        # the 3 per-perturbation compiles overlap instead of serializing the
-        # first pass (prompt construction is deterministic —
-        # build_negative_prompts)
-        sigs = []
-        for i in range(3):
-            prompts, _ = build_negative_prompts(_template_grouped(data)[:bsz], i,
-                                                config.seed_list[i])
-            live = [p for p in prompts if p is not None]
-            if live:
-                sigs.append(engine.signature_for(live))
-        n = engine.prewarm(sigs)
+        # pre-warm the decode programs for EVERY batch's signature so the
+        # per-(template, bucket) compiles overlap in the thread pool
+        # instead of stalling the data loop one by one (prompt
+        # construction is deterministic — build_negative_prompts; the
+        # host-side re-tokenize is trivial next to one decode batch)
+        n = engine.prewarm(_collect_signatures(
+            engine, _template_grouped(data), bsz,
+            lambda b, i: build_negative_prompts(b, i, config.seed_list[i])))
         print(f"[step2a] pre-warmed {n} decode program(s)")
         negatives = run_negative(config, engine, data)
         save_json_sharded(config.save_path, "negative_prompt", negatives)
@@ -218,14 +231,9 @@ def main(config) -> None:
 
     # 2. densification — consumes this host's negative shard directly
     # (multi-host safe: no cross-host file dependency before the merge)
-    sigs = []
-    for i in range(3):
-        prompts, _ = build_dense_prompts(_template_grouped(negatives)[:bsz], i,
-                                         config.seed_list[i])
-        live = [p for p in prompts if p is not None]
-        if live:
-            sigs.append(engine.signature_for(live))
-    n = engine.prewarm(sigs)
+    n = engine.prewarm(_collect_signatures(
+        engine, _template_grouped(negatives), bsz,
+        lambda b, i: build_dense_prompts(b, i, config.seed_list[i])))
     print(f"[step2b] pre-warmed {n} decode program(s)")
     dense = run_dense(config, engine, negatives)
     save_json_sharded(config.save_path, "long_prompt", dense)
