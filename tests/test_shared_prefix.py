@@ -194,6 +194,56 @@ def test_forward_prefix_kv_matches_materialized(setup):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("layout", ["bshd", "shbd", "bhsd"])
+@pytest.mark.parametrize("quant", [False, "int8"])
+def test_prefix_kv_layout_window_matrix(setup, layout, quant):
+    """prefix_kv composes with every cache layout, int8 quantization and
+    a truncated attention window — decode-step hidden states match the
+    materialized full forward (generality pin for future engine users,
+    e.g. a shared-prefix scoring prefill on the shbd cache)."""
+    from ospo_tpu.models import llama
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    B, C, T = 2, 8, 4
+    key = jax.random.PRNGKey(2)
+    pe = jax.random.normal(key, (1, C, cfg.hidden_size))
+    tails = jax.random.normal(jax.random.fold_in(key, 1),
+                              (B, T, cfg.hidden_size))
+    step_tok = jax.random.normal(jax.random.fold_in(key, 2),
+                                 (B, 1, cfg.hidden_size))
+
+    full = jnp.concatenate([jnp.tile(pe, (B, 1, 1)), tails, step_tok], 1)
+    m = jnp.ones((B, C + T + 1), jnp.int32)
+    h_ref, _ = llama.forward(params, cfg, full, m,
+                             llama.positions_from_mask(m))
+    ref_last = np.asarray(h_ref[:, -1])
+
+    for W in [None, T + 1]:
+        pkv = llama.init_kv_cache(cfg, 1, C)
+        pm = jnp.ones((1, C), jnp.int32)
+        _, pkv = llama.forward(params, cfg, pe, pm,
+                               llama.positions_from_mask(pm),
+                               kv_cache=pkv, self_attn=True)
+        prefix = {"k": pkv["k"][:, 0], "v": pkv["v"][:, 0], "mask": pm}
+        kv = llama.init_kv_cache(cfg, B, T + 2, quantized=quant,
+                                 layout=layout)
+        tm = jnp.ones((B, T), jnp.int32)
+        _, kv = llama.forward(params, cfg, tails, tm,
+                              C + llama.positions_from_mask(tm),
+                              kv_cache=kv, self_attn=True,
+                              cache_layout=layout, prefix_kv=prefix)
+        wm = jnp.ones((B, T + 2), jnp.int32)
+        if W is not None:
+            wm = wm[:, :W]  # window callers truncate the mask (image engine)
+        pos = jnp.full((B, 1), C + T, jnp.int32)
+        h, kv = llama.forward(params, cfg, step_tok, wm, pos, kv_cache=kv,
+                              cache_layout=layout, prefix_kv=prefix,
+                              attn_window=W)
+        err = np.abs(np.asarray(h[:, -1]) - ref_last).max()
+        assert err < (2e-4 if quant else 1e-5), (layout, quant, W, err)
+
+
 def test_env_override_disables(setup, monkeypatch):
     monkeypatch.setenv("OSPO_SHARED_PREFIX", "0")
     _, model, proc = setup
