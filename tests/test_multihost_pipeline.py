@@ -66,6 +66,42 @@ def test_two_process_step2_launcher(tmp_path):
         assert len(rec["long_prompt"]) == 3
 
 
+def test_two_process_step1_launcher(tmp_path):
+    """2-process step-1 element generation: each rank samples with a
+    process-folded RNG, ``merge_element_sets`` gathers across ranks, and
+    process 0 alone writes the element file (the DDP element-gen contract
+    of ``ospo/wrapper/text_generation.py:84-103`` under Lightning DDP)."""
+    cfg = tmp_path / "step1.yaml"
+    cfg.write_text(
+        "seed: 42\n"
+        "batch_size: 2\n"
+        "max_len: 3\n"
+        f"save_path: {tmp_path / 'step1'}\n"
+        "model_preset: tiny\n"
+        "generation_config:\n"
+        "  do_sample: true\n"
+        "  temperature: 1.3\n"
+        "  max_new_tokens: 8\n"
+    )
+    env = dict(os.environ)
+    env["OSPO_PLATFORM"] = "cpu"
+    env["OSPO_COORD_PORT"] = str(_free_port())
+    env["OSPO_COMPILE_CACHE"] = "off"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        ["bash", LAUNCHER, "2", "ospo_tpu.pipeline.step1",
+         "--cfg_path", str(cfg), "--category", "object"],
+        env=env, cwd=REPO, capture_output=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout.decode() + proc.stderr.decode()
+    out = json.load(open(tmp_path / "step1" / "object_element.json"))
+    # merged union from both ranks: a list of unique element strings
+    assert isinstance(out, list)
+    assert len(out) == len(set(out))
+
+
 @pytest.mark.slow
 def test_two_process_step4_launcher(tmp_path):
     """2-process step 4: question gen + cross-item scoring (with the
