@@ -174,12 +174,14 @@ def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]]
     stacked A [d_in, r] / B [r, d_out] for the current layer.
     """
     if isinstance(w, dict) and "q4" in w:
-        # weight-only int4 ({"q4", "s"}): two output rows per byte; one
-        # einsum per nibble plane, rejoined on the feature axis
-        # (ops/quant.quantize_matrix_int4)
+        # weight-only int4: two output rows per byte; one einsum per
+        # nibble plane, rejoined on the feature axis.  {"q4", "s"} is
+        # per-output-row scaled, {"q4", "gs"} group-wise (g=128 along the
+        # input dim — the quality fix; ops/quant.quantize_matrix_int4*)
         from ospo_tpu.ops import quant as _quant
 
-        y = _quant.quantized_matmul_int4(x, w)
+        y = (_quant.quantized_matmul_int4_group(x, w) if "gs" in w
+             else _quant.quantized_matmul_int4(x, w))
     elif isinstance(w, dict):  # weight-only int8 ({"q", "s"}, ops/quant.py)
         y = jnp.einsum("btd,fd->btf", x, w["q"].astype(x.dtype))
         y = y * w["s"].astype(x.dtype)

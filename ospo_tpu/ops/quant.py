@@ -127,6 +127,80 @@ def quantized_matmul_int4(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
          y_high * qw["s"][..., f2:].astype(x.dtype)], axis=-1)
 
 
+INT4_GROUP = 128  # AWQ/GPTQ-standard group size along the input dim
+
+
+def quantize_matrix_int4_group(w: jax.Array,
+                               group: int = INT4_GROUP) -> Dict[str, jax.Array]:
+    """[..., F, D] → {"q4": int8 [..., F/2, D], "gs": f32 [..., F, D/group]}.
+
+    GROUP-WISE 15-level int4 (W4A16-g128): one scale per ``group``
+    contiguous INPUT columns of each output row, the standard fix for
+    per-row int4's range problem (a single outlier column blows up the
+    whole row's step size — the per-row variant measured 16.5 mean KL on
+    the 7B gate vs int8's 0.24, BENCH_NOTES "weight-quantization gate").
+    Same two-output-rows-per-byte packing as :func:`quantize_matrix_int4`
+    (row r low nibble, row r+F/2 high), so the byte halving and the HBM
+    story are identical; the scales add D/group·4 bytes per row (~6% at
+    g=128) and the key "gs" (vs "s") routes the matmul dispatch.
+
+    Arithmetic stays in the input dtype except the scales (the abs-max
+    reduce fuses — no materialised fp32 copy of a stacked 7B matrix).
+    ``group`` clamps to D for tiny test matrices (must then divide D).
+    """
+    *lead, f, d = w.shape
+    group = min(group, d)
+    assert f % 2 == 0, f"int4 weight packing needs an even out dim, got {f}"
+    assert d % group == 0, f"group {group} must divide the in dim {d}"
+    wg = w.reshape(*lead, f, d // group, group)
+    s = jnp.max(jnp.abs(wg.astype(jnp.float32)), axis=-1) / 7.0
+    s = jnp.maximum(s, 1e-12)                       # [..., F, D/group]
+    q = jnp.clip(
+        jnp.round(wg / s[..., None].astype(w.dtype)), -7, 7
+    ).astype(jnp.int8).reshape(*lead, f, d)
+    low = q[..., : f // 2, :]
+    high = q[..., f // 2 :, :]
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(low, jnp.int8(0x0F)), jnp.left_shift(high, 4)
+    ).astype(jnp.int8)
+    return {"q4": packed, "gs": s}
+
+
+def dequantize_matrix_int4_group(qw: Dict[str, jax.Array],
+                                 dtype=jnp.bfloat16) -> jax.Array:
+    low, high = unpack_int4_halves(qw["q4"])
+    q = jnp.concatenate([low, high], axis=-2).astype(jnp.float32)
+    *lead, f, d = q.shape
+    g = qw["gs"].shape[-1]
+    q = q.reshape(*lead, f, g, d // g) * qw["gs"][..., None]
+    return q.reshape(*lead, f, d).astype(dtype)
+
+
+def quantized_matmul_int4_group(x: jax.Array,
+                                qw: Dict[str, jax.Array]) -> jax.Array:
+    """y = x @ Wᵀ with group-scaled packed int4: per nibble plane, a
+    G-batched einsum over the group-split input dim, then the [F, G]
+    scales applied per group and reduced over G in f32 (the scale sits
+    INSIDE the contraction, so it cannot ride the output like the
+    per-row representations' ``y * s``).  The [B, T, F, G] intermediate
+    stays a fusion temp at decode shapes (T = 1)."""
+    low, high = unpack_int4_halves(qw["q4"])
+    gs = qw["gs"]                                    # [..., F, G]
+    f2, d = qw["q4"].shape[-2:]
+    g = gs.shape[-1]
+    b, t, _ = x.shape
+    xg = x.reshape(b, t, g, d // g)
+
+    def plane(p, s):
+        y = jnp.einsum("btgc,fgc->btfg", xg,
+                       p.reshape(f2, g, d // g).astype(x.dtype))
+        return (y.astype(jnp.float32) * s.astype(jnp.float32)).sum(-1)
+
+    return jnp.concatenate(
+        [plane(low, gs[..., :f2, :]), plane(high, gs[..., f2:, :])],
+        axis=-1).astype(x.dtype)
+
+
 def quantize_matrix_int4_native(w: jax.Array) -> Dict[str, jax.Array]:
     """[..., F, D] → {"q": s4, "s": f32 [..., F]} — native ``jnp.int4``
     storage (0.5 byte/weight in HBM) with the SAME dict contract as the
@@ -150,6 +224,7 @@ def quantize_matrix_int4_native(w: jax.Array) -> Dict[str, jax.Array]:
 _QUANT_FNS = {
     "int8": quantize_matrix,
     "int4": quantize_matrix_int4,
+    "int4g": quantize_matrix_int4_group,
     "int4n": quantize_matrix_int4_native,
 }
 

@@ -123,6 +123,15 @@ def _align_quant_specs(params: Any, specs: Any) -> Any:
     ever becomes a production path (int4 weights are quality-gated
     today)."""
     if isinstance(params, dict):
+        if set(params) == {"q4", "gs"} and isinstance(specs, P):
+            # group-wise int4: gs is [..., F, G=D/group].  Keep the lead +
+            # out-dim sharding, REPLICATE the group axis (it can be tiny —
+            # G=1 on test shapes — and even at 7B an in-dim shard would
+            # need group-aligned splits); in-dim-sharded q4 then makes
+            # GSPMD reshard the (tiny) scales, the same correct-but-not-
+            # collective-free story as per-row int4's "s" below.
+            return {"q4": specs,
+                    "gs": P(*tuple(specs)[: params["gs"].ndim - 1], None)}
         qkey = "q" if set(params) == {"q", "s"} else (
             "q4" if set(params) == {"q4", "s"} else None)
         if qkey is not None and isinstance(specs, P):

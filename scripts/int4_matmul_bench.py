@@ -66,9 +66,10 @@ def main():
         w = (jax.random.normal(key, (L, F, D), jnp.bfloat16) * 0.02)
         x = jax.random.normal(jax.random.fold_in(key, 1), (ROWS, 1, D),
                               jnp.bfloat16)
-        return w, x, quant.quantize_matrix(w), quant.quantize_matrix_int4(w)
+        return (w, x, quant.quantize_matrix(w), quant.quantize_matrix_int4(w),
+                quant.quantize_matrix_int4_group(w))
 
-    w, x, q8, q4 = jax.block_until_ready(build(key))
+    w, x, q8, q4, q4g = jax.block_until_ready(build(key))
     print("# inputs ready", flush=True)
 
     def scan_over(f, weights):
@@ -88,6 +89,10 @@ def main():
     timeit("int8", lambda q_: scan_over(quant.quantized_matmul, q_), q8)
     timeit("int4 2-plane", lambda q_: scan_over(
         quant.quantized_matmul_int4, q_), q4)
+    # group-wise (g=128) int4: same packed bytes, scales ride INSIDE the
+    # contraction — measures what the quality fix costs at decode shapes
+    timeit("int4g g=128", lambda q_: scan_over(
+        quant.quantized_matmul_int4_group, q_), q4g)
 
     # int4 carried across the jit boundary as PACKED int8 bytes, bitcast
     # to s4 inside the program (sidesteps the int4-jit-argument

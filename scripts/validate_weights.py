@@ -293,7 +293,7 @@ def phase_divergence(model, processor, n_tokens: int, batch: int,
         if any(x.dtype == jnp.int8 for x in jax.tree.leaves(lm)):
             raise ValueError("--weight-divergence needs --quantize none "
                              "(the loaded trunk is already quantized)")
-        for wmode in ("int8", "int4"):
+        for wmode in ("int8", "int4", "int4g"):
             qparams = {**model.params,
                        "language_model": quant.quantize_llama_params(
                            lm, mode=wmode)}

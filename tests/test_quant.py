@@ -187,3 +187,103 @@ def test_parse_kv_quant_spellings():
         quant.parse_kv_quant("int16")
     with pytest.raises(ValueError):
         quant.parse_kv_quant("on_please")
+
+
+def test_int4_group_pack_roundtrip_and_bound():
+    """Group-wise int4 ({"q4","gs"}): exact code recovery through the
+    packing, and per-element error bounded by half the GROUP's step —
+    strictly tighter than the per-row bound whenever a row's range
+    varies across groups (the failure mode behind per-row int4's 16.5
+    mean KL on the 7B gate)."""
+    from ospo_tpu.ops import quant
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (6, 8, 32), jnp.float32)
+    qw = quant.quantize_matrix_int4_group(w, group=16)
+    assert qw["q4"].shape == (6, 4, 32) and qw["q4"].dtype == jnp.int8
+    assert qw["gs"].shape == (6, 8, 2)
+    deq = quant.dequantize_matrix_int4_group(qw, jnp.float32)
+    step = np.asarray(qw["gs"]).repeat(16, axis=-1)[..., None, :].reshape(6, 8, 32)
+    assert (np.abs(np.asarray(deq) - np.asarray(w)) <= step * 0.51).all()
+
+
+def test_int4_group_tighter_than_per_row_on_outlier_rows():
+    """A single outlier column must not blow up the whole row's step:
+    grouped scales keep the non-outlier groups fine-grained."""
+    from ospo_tpu.ops import quant
+
+    w = np.random.RandomState(0).randn(4, 64).astype(np.float32) * 0.02
+    w[:, 0] = 8.0  # one outlier column per row
+    qg = quant.quantize_matrix_int4_group(jnp.asarray(w), group=16)
+    qr = quant.quantize_matrix_int4(jnp.asarray(w))
+    err_g = np.abs(np.asarray(quant.dequantize_matrix_int4_group(qg, jnp.float32)) - w)[:, 16:]
+    err_r = np.abs(np.asarray(quant.dequantize_matrix_int4(qr, jnp.float32)) - w)[:, 16:]
+    assert err_g.mean() < err_r.mean() / 4, (err_g.mean(), err_r.mean())
+
+
+def test_int4_group_matmul_matches_dequantized():
+    from ospo_tpu.ops import quant
+
+    w = jax.random.normal(jax.random.PRNGKey(1), (12, 32), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 32), jnp.float32)
+    qw = quant.quantize_matrix_int4_group(w, group=8)
+    ref = jnp.einsum("btd,fd->btf", x,
+                     quant.dequantize_matrix_int4_group(qw, jnp.float32))
+    out = quant.quantized_matmul_int4_group(x, qw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_int4_group_llama_forward_closer_than_per_row():
+    """mode='int4g' flows through the stacked-layer forward (dispatch on
+    the 'gs' key) and tracks the bf16 hidden states at least as closely
+    as per-row int4."""
+    from ospo_tpu.models import llama
+    from ospo_tpu.ops import quant
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.arange(24).reshape(2, 12) % cfg.vocab_size
+    mask = jnp.ones((2, 12), jnp.int32)
+    pos = llama.positions_from_mask(mask)
+    x = llama.embed_tokens(params, ids)
+    ref, _ = llama.forward(params, cfg, x, mask, pos)
+
+    out_g, _ = llama.forward(
+        quant.quantize_llama_params(params, mode="int4g"), cfg, x, mask, pos)
+    out_r, _ = llama.forward(
+        quant.quantize_llama_params(params, mode="int4"), cfg, x, mask, pos)
+    a = np.asarray(ref, np.float32).ravel()
+    eg = np.abs(np.asarray(out_g, np.float32).ravel() - a).mean()
+    er = np.abs(np.asarray(out_r, np.float32).ravel() - a).mean()
+    assert eg <= er * 1.05, (eg, er)
+    corr = np.corrcoef(a, np.asarray(out_g, np.float32).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_int4_group_tp_sharding_matches_single_device():
+    """int4g params shard onto a model-parallel mesh ({"q4","gs"} spec
+    alignment) and the sharded cached decode forward matches."""
+    import jax
+    from ospo_tpu.models import llama
+    from ospo_tpu.ops import quant
+    from ospo_tpu.parallel import mesh as mesh_lib
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = quant.quantize_llama_params(params, mode="int4g")
+    ids = jnp.arange(16).reshape(2, 8) % cfg.vocab_size
+    mask = jnp.ones((2, 8), jnp.int32)
+    pos = llama.positions_from_mask(mask)
+    x = llama.embed_tokens(params, ids)
+    ref, _ = llama.forward(qparams, cfg, x, mask, pos)
+
+    mesh = mesh_lib.create_mesh(model_parallel=2)
+    specs = mesh_lib._align_quant_specs(qparams, mesh_lib.llama_param_specs())
+    sharded = jax.tree.map(
+        lambda p, s: jax.device_put(
+            p, jax.sharding.NamedSharding(mesh, s)),
+        qparams, specs)
+    out, _ = llama.forward(sharded, cfg, x, mask, pos)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-5, rtol=2e-5)
