@@ -11,7 +11,8 @@ gap over non-global questions, global score = last question's gap.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, NamedTuple, Sequence
+import os
+from typing import Dict, List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -28,17 +29,32 @@ def _bucket(n: int, step: int = 64) -> int:
 
 class _SharedPrep(NamedTuple):
     """Host-prepared operand package for one shared-prefix scoring call
-    (``ScoringEngine.prepare_shared_multi`` → ``_execute_shared_multi``)."""
+    (``ScoringEngine.prepare_shared_multi`` → ``_execute_shared_multi``).
+    ``pre`` carries the batch-shared PRE-IMAGE segment operands
+    ``[pre_ids, pre_mask]`` (each ``[1, C]``) when the pre-image split is
+    active, else ``None`` (single-segment program)."""
     operands: List[np.ndarray]
     q_counts: List[int]
     n_real: int
+    pre: Optional[List[np.ndarray]] = None
 
 
 class ScoringEngine:
     def __init__(self, model: janus_lib.JanusModel, processor: Processor,
-                 mesh=None, kv_quant: bool = False):
+                 mesh=None, kv_quant: bool = False,
+                 pre_image_prefix: Optional[bool] = None):
         self.model = model
         self.processor = processor
+        # pre-image shared segment: the chat header + system prompt tokens
+        # BEFORE the image span are identical across every image in the
+        # batch (pure text — no spliced embeddings), so they prefill once
+        # at B=1 and ride ``prefix_kv`` instead of being stored N times in
+        # the per-image cache (BENCH_NOTES "Known unexploited lever").
+        # Default on; OSPO_SCORE_PREIMG=0 is the A/B kill-switch, mirroring
+        # the text engine's OSPO_SHARED_PREFIX convention.
+        if pre_image_prefix is None:
+            pre_image_prefix = os.environ.get("OSPO_SCORE_PREIMG", "1") != "0"
+        self.pre_image_prefix = bool(pre_image_prefix)
         # multi-device serving mesh (params sharded by the caller via
         # parallel.mesh.shard_janus_params); the image batch shards on
         # 'data', the trunk TP layouts propagate through the prefix cache
@@ -140,6 +156,72 @@ class ScoringEngine:
         # XLA copy (and remat-compress) the whole cache per iteration
         # (~4 GB of copies at 7B); unrolled, layout assignment unifies the
         # cache across all readers and the copies disappear
+        return jnp.stack([
+            per_question(suffix_ids[i], suffix_mask[i])
+            for i in range(suffix_ids.shape[0])
+        ])
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _shared_prefix_probs_preimg(self, params, pre_ids, pre_mask,
+                                    input_ids, attn_mask, img_embeds,
+                                    seq_mask, emb_mask, suffix_ids,
+                                    suffix_mask):
+        """Pre-image-split variant of :meth:`_shared_prefix_probs`: the
+        batch-identical PRE-IMAGE token segment (chat header + system
+        prompt — pure text, so its embeddings don't depend on the image)
+        prefills ONCE at B=1 into a bf16 cache and every later phase reads
+        it as a batch-shared ``prefix_kv`` segment; only the per-image
+        remainder (image span + post-image text) occupies the N-row cache.
+        Rotary positions of the remainder continue after the pre segment,
+        so the absolute positions — and the joint softmax — are
+        token-for-token identical to the single-segment program (pinned
+        by test_scoring.py; generality by
+        test_prefix_kv_layout_window_matrix)."""
+        cfg = self.model.cfg
+        b, p = input_ids.shape
+
+        # 1. B=1 pre-image prefill (bf16 regardless of kv_quant: stored
+        #    once, the halving is irrelevant and the earliest context
+        #    keeps full precision — text-engine convention)
+        pkv = llama.init_kv_cache(cfg.language, 1, pre_ids.shape[1])
+        p_embeds = janus_lib.embed_text(params, pre_ids)
+        _, pkv = janus_lib.language_forward(
+            params, cfg, p_embeds, pre_mask,
+            llama.positions_from_mask(pre_mask),
+            kv_cache=pkv, self_attn=True,
+        )
+        prefix = {"k": pkv["k"][:, 0], "v": pkv["v"][:, 0],
+                  "mask": pre_mask}
+        pre_len = jnp.sum(pre_mask)
+
+        # 2. per-image remainder prefill against the shared segment
+        embeds = janus_lib.prepare_inputs_embeds(
+            params, cfg, input_ids, None, seq_mask, emb_mask,
+            img_embeds=img_embeds,
+        )
+        positions = pre_len + llama.positions_from_mask(attn_mask)
+        kv = llama.init_kv_cache(cfg.language, b, p + suffix_ids.shape[-1],
+                                 layout="shbd", quantized=self.kv_quant)
+        _, kv = janus_lib.language_forward(
+            params, cfg, embeds, attn_mask, positions,
+            kv_cache=kv, self_attn=True, cache_layout="shbd",
+            prefix_kv=prefix,
+        )
+        prefix_len = pre_len + jnp.sum(attn_mask, axis=-1, keepdims=True)
+
+        def per_question(sfx_ids, sfx_mask):
+            s_embeds = janus_lib.embed_text(params, jnp.maximum(sfx_ids, 0))
+            pos = prefix_len - 1 + jnp.maximum(
+                jnp.cumsum(sfx_mask.astype(jnp.int32), axis=-1), 1)
+            window = jnp.concatenate(
+                [attn_mask, sfx_mask], axis=-1).astype(jnp.int32)
+            hidden, _ = janus_lib.language_forward(
+                params, cfg, s_embeds, window, pos, kv_cache=kv,
+                cache_layout="shbd", prefix_kv=prefix,
+            )
+            logits = janus_lib.lm_logits(params, hidden[:, -1:, :])[:, 0]
+            return self._yes_no(logits)
+
         return jnp.stack([
             per_question(suffix_ids[i], suffix_mask[i])
             for i in range(suffix_ids.shape[0])
@@ -291,13 +373,32 @@ class ScoringEngine:
         assert not seq_mask_full[common:].any(), \
             "image span must sit inside the shared prefix"
 
-        # prefix batch over images, left-padded to a bucket
-        p_b = _bucket(common)
-        lpad = p_b - common
-        prefix_ids = np.pad(all_ids[0][:common], (lpad, 0),
+        # pre-image split: the tokens BEFORE the image span are identical
+        # across images AND questions (chat header + system prompt — and
+        # pure text, so their embeddings don't depend on the image); store
+        # their KV once at B=1 instead of N times in the per-image cache
+        pre = None
+        pre_n = 0
+        if self.pre_image_prefix and seq_mask_full[:common].any():
+            img_start = int(np.argmax(seq_mask_full[:common]))
+            if img_start >= 8:  # too-short segments aren't worth a 2nd phase
+                pre_n = img_start
+                c_pre = _bucket(pre_n, step=16)
+                pre_ids = np.full((1, c_pre), self.processor.pad_id, np.int32)
+                pre_mask = np.zeros((1, c_pre), np.int32)
+                pre_ids[0, c_pre - pre_n:] = all_ids[0][:pre_n]
+                pre_mask[0, c_pre - pre_n:] = 1
+                pre = [pre_ids, pre_mask]
+
+        # per-image prefix batch (minus any pre-image segment), left-padded
+        # to a bucket
+        rest = common - pre_n
+        p_b = _bucket(rest)
+        lpad = p_b - rest
+        prefix_ids = np.pad(all_ids[0][pre_n:common], (lpad, 0),
                             constant_values=self.processor.pad_id)
-        prefix_mask = np.pad(np.ones(common, np.int32), (lpad, 0))
-        prefix_seq_mask = np.pad(seq_mask_full[:common], (lpad, 0))
+        prefix_mask = np.pad(np.ones(rest, np.int32), (lpad, 0))
+        prefix_seq_mask = np.pad(seq_mask_full[pre_n:common], (lpad, 0))
         pixel_values = np.stack([
             self.processor.image_processor([img])[0] for img in images
         ])                                               # [N, H, W, 3]
@@ -329,7 +430,7 @@ class ScoringEngine:
             sfx_ids,
             sfx_mask,
         ]
-        return _SharedPrep(operands, q_counts, n_real)
+        return _SharedPrep(operands, q_counts, n_real, pre)
 
     def _execute_shared_multi(self, prep: "_SharedPrep") -> List[Dict]:
         """DEVICE half: transfer/shard the prepared operands, run the
@@ -338,19 +439,31 @@ class ScoringEngine:
 
         q_counts, n_real = prep.q_counts, prep.n_real
         operands = [jnp.asarray(x) for x in prep.operands]
+        pre = (None if prep.pre is None
+               else [jnp.asarray(x) for x in prep.pre])
         if self.mesh is not None:
             # image batch on 'data': axis 0 everywhere except the [Q, N, T]
-            # suffix operands, whose batch sits on axis 1
+            # suffix operands, whose batch sits on axis 1; the B=1
+            # pre-image segment replicates (every data shard reads it)
             operands = [
                 mesh_lib.shard_on_axis(x, self.mesh, axis=1 if i >= 5 else 0)
                 for i, x in enumerate(operands)
             ]
+            if pre is not None:
+                pre = [mesh_lib.replicate(x, self.mesh) for x in pre]
         img_embeds = self._encode_images(self.model.params, operands[2])
-        yn_qn = np.asarray(self._shared_prefix_probs(
-            self.model.params,
-            operands[0], operands[1], img_embeds,
-            operands[3], operands[4], operands[5], operands[6],
-        ))                                               # [Q_b, N, 2]
+        if pre is not None:
+            yn_qn = np.asarray(self._shared_prefix_probs_preimg(
+                self.model.params, pre[0], pre[1],
+                operands[0], operands[1], img_embeds,
+                operands[3], operands[4], operands[5], operands[6],
+            ))                                           # [Q_b, N, 2]
+        else:
+            yn_qn = np.asarray(self._shared_prefix_probs(
+                self.model.params,
+                operands[0], operands[1], img_embeds,
+                operands[3], operands[4], operands[5], operands[6],
+            ))                                           # [Q_b, N, 2]
         return [
             self._collect_scores(
                 np.ascontiguousarray(yn_qn[:q_counts[i], i]),

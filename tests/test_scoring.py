@@ -118,6 +118,41 @@ def test_cross_item_multi_question_batching(engine):
         assert len(batched[i]["answer_metadata"]) == len(qs)
 
 
+def test_pre_image_segment_exact_vs_single_segment(engine_factory):
+    """The pre-image prefix_kv split (chat header + system prompt stored
+    once at B=1) must engage on ordinary conversations AND reproduce the
+    single-segment program's scores exactly up to fp reassociation — the
+    split moves tokens between phases, never changes them."""
+    eng_pre = engine_factory(pre_image_prefix=True)
+    eng_one = engine_factory(pre_image_prefix=False)
+    rng = np.random.default_rng(17)
+    imgs = [Image.fromarray(
+        rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8))
+        for _ in range(2)]
+    per_image = [["Is there a dog?", "Does it match the prompt?"],
+                 ["Is it blue?", "Is it big?", "Does it match?"]]
+    # engagement pin: the split must actually be active on this input
+    prep = eng_pre.prepare_shared_multi(imgs, per_image)
+    assert prep.pre is not None and prep.pre[1].sum() >= 8
+    assert eng_one.prepare_shared_multi(imgs, per_image).pre is None
+
+    a = eng_pre.score_images_multi(imgs, per_image)
+    b = eng_one.score_images_multi(imgs, per_image)
+    for fa, fb in zip(a, b):
+        assert abs(fa["local_score"] - fb["local_score"]) < 2e-4
+        assert abs(fa["global_score"] - fb["global_score"]) < 2e-4
+        for ma, mb in zip(fa["answer_metadata"], fb["answer_metadata"]):
+            assert abs(ma["p_yes"] - mb["p_yes"]) < 2e-4
+            assert abs(ma["p_no"] - mb["p_no"]) < 2e-4
+
+
+def test_pre_image_env_kill_switch(engine_factory, monkeypatch):
+    monkeypatch.setenv("OSPO_SCORE_PREIMG", "0")
+    assert engine_factory().pre_image_prefix is False
+    monkeypatch.delenv("OSPO_SCORE_PREIMG")
+    assert engine_factory().pre_image_prefix is True
+
+
 def test_int8_prefix_cache_close_to_bf16(engine_factory):
     """The int8 prefix-KV scoring option must stay close to the bf16
     scores (it's a serving-memory knob, not a different algorithm)."""
