@@ -55,6 +55,33 @@ for ROWS in 10 8 6; do
   grep -q "^POINT score_bf16_rows${ROWS} rc=0 .*pairs" "$LOG" && break
 done
 
+# 3b. scoring pre-image prefix_kv A/B (default = preimg on), and the
+#     freed-HBM rows=16 retry that OOMed on the single-segment program
+run_point score_rows14_preimg0 OSPO_BENCH_MODE=score OSPO_SCORE_PREIMG=0
+run_point score_rows16_preimg1 OSPO_BENCH_MODE=score OSPO_BENCH_SCORE_ROWS=16
+
+# 3c. int4g (group-wise int4 weights — per-row int4's quality fix):
+#     decode-shape matmul cost, then the two-process 7B weight gate,
+#     then the capacity serving point (int4's measured peak was B=32)
+if ! grep -q "^POINT int4g_matmul " "$LOG" 2>/dev/null; then
+  timeout 1800 python scripts/int4_matmul_bench.py 40 >> "$LOG.int4g" 2>&1 \
+    && echo "POINT int4g_matmul rc=0 see $LOG.int4g" >> "$LOG" \
+    || echo "POINT int4g_matmul rc=$? see $LOG.int4g" >> "$LOG"
+fi
+if ! grep -q "^POINT int4g_gate " "$LOG" 2>/dev/null; then
+  REF=outputs-timed/wgate_ref
+  [ -f "$REF/meta.json" ] || timeout 3600 python scripts/validate_weights.py \
+      --model_preset 7b --quantize none --phases divergence \
+      --export-reference "$REF" --out outputs-timed/wgate_export >> "$LOG.int4g" 2>&1
+  timeout 3600 python scripts/validate_weights.py \
+      --model_preset 7b --quantize int4g --phases divergence \
+      --compare-reference "$REF" --out outputs-timed/wgate_int4g >> "$LOG.int4g" 2>&1 \
+    && echo "POINT int4g_gate rc=0 $(grep -o 'w_int4g[^,}]*' outputs-timed/wgate_int4g/validation_report.json | head -1)" >> "$LOG" \
+    || echo "POINT int4g_gate rc=$? see $LOG.int4g" >> "$LOG"
+fi
+run_point image_int4g_b32 OSPO_BENCH_MODE=image OSPO_BENCH_QUANT=int4g \
+    OSPO_BENCH_BATCH=32
+
 # 4. shared-path batch sweep upward (the old B=80 OOM wall was prefix KV;
 #    riskiest points last, ascending so the first OOM stops the sweep)
 for B in 96 128 192 256; do
