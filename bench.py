@@ -405,7 +405,8 @@ def bench_score(preset: str) -> None:
     dt = min(times)
     imgs_per_sec = group / dt
     pairs_per_hour = imgs_per_sec / 6 * 3600  # 6 images per item/pair
-    print(f"# score preset={preset} compile={compile_s:.1f}s img={dt:.2f}s",
+    print(f"# score preset={preset} compile={compile_s:.1f}s img={dt:.2f}s "
+          f"preimg={'1' if engine.pre_image_prefix else '0'} rows={group}",
           file=sys.stderr)
     print(json.dumps({
         "metric": "pref-pairs/hour/chip",

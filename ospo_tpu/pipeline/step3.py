@@ -51,13 +51,15 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
     # AOT-compile the first batch's decode signature while the host is
     # still globbing/mkdir-ing (with the persistent compile cache this is
     # a no-op from the second invocation on)
+    first_sig = None
     if data:
         first = [t2i_prompt(processor, p)
                  for s in data[:batch_size]
                  for p in (s.get("long_prompt") or [])[:1] if p]
         if first:
             try:
-                engine.prewarm([engine.signature_for(first)])
+                first_sig = engine.signature_for(first)
+                engine.prewarm([first_sig])
             except Exception as e:  # prewarm is best-effort
                 print(f"# step3 prewarm skipped: {e}")
     # PNG encodes overlap the next batch's device decode
@@ -67,6 +69,44 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
     # deferred XLA errors there) — count them here so the per-batch fault
     # tolerance and the all-failed guard still see them
     import threading
+
+    # the REST of the run's signatures — resume-skipped groups and the
+    # final partial batch land in smaller batch buckets than the steady
+    # state — AOT-compile on a background thread while the serving loop
+    # runs (mirrors steps 2/4a's all-signature prewarm; with the
+    # persistent compile cache this only ever pays once per signature)
+    def _prewarm_rest():
+        try:
+            sigs = set()
+            for pbatch in batched(data, batch_size):
+                lists = [[] for _ in range(6)]
+                for sample in pbatch:
+                    for ptype, prompts, offset in (
+                            ("base", sample.get("long_prompt") or [], 0),
+                            ("negative",
+                             sample.get("negative_long_prompt") or [], 3)):
+                        for i in range(min(3, len(prompts))):
+                            if not prompts[i]:
+                                continue
+                            fp = os.path.join(
+                                config.save_path, ptype, sample["category"],
+                                sample["item_id"], f"{i:02d}.png")
+                            if os.path.exists(fp):
+                                continue
+                            lists[i + offset].append(
+                                t2i_prompt(processor, prompts[i]))
+                for idx in range(6):
+                    if lists[idx]:
+                        sigs.add(engine.signature_for(lists[idx]))
+            sigs.discard(first_sig)
+            if sigs:
+                n = engine.prewarm(sigs)
+                print(f"# step3 background prewarm: {n} extra signatures")
+        except Exception as e:  # best-effort, never blocks serving
+            print(f"# step3 background prewarm skipped: {e}")
+
+    if data:
+        threading.Thread(target=_prewarm_rest, daemon=True).start()
 
     write_lock = threading.Lock()
     writer_stats = {"ok": 0, "failed": 0}
