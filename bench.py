@@ -89,7 +89,8 @@ def build_bench_model(preset: str):
         cfg = janus_lib.tiny_janus_config()
 
     quant_mode = os.environ.get("OSPO_BENCH_QUANT")
-    quant_mode = quant_mode if quant_mode in ("int8", "int4", "int4g", "int4n") else None
+    quant_mode = quant_mode if quant_mode in (
+        "int8", "w8a8", "int4", "int4g", "int4n") else None
 
     def init(key):
         k_lm, k_gal, k_gh, k_ge = jax.random.split(key, 4)
@@ -322,7 +323,8 @@ def bench_score(preset: str) -> None:
     # dicts transparently); the ViT/aligner stay bf16
     quant_mode = os.environ.get("OSPO_BENCH_QUANT")
     quant_mode = (quant_mode
-                  if quant_mode in ("int8", "int4", "int4g", "int4n") else False)
+                  if quant_mode in ("int8", "w8a8", "int4", "int4g", "int4n")
+                  else False)
     model = janus_lib.JanusModel.init(cfg, seed=0, quantize=quant_mode)
     if quant_mode:
         print(f"# {quant_mode} weight quantization enabled",
@@ -498,7 +500,7 @@ def main() -> None:
     # (position-major peaked at B=20: XLA made in-loop layout copies);
     # bf16 (OSPO_BENCH_QUANT=bf16): ~11.4GB + 1.26GB/pair → B=4 max
     qmode = os.environ.get("OSPO_BENCH_QUANT")
-    quantized = qmode in ("int8", "int4", "int4g", "int4n")
+    quantized = qmode in ("int8", "w8a8", "int4", "int4g", "int4n")
     # int4 KV: half the int8 cache bytes -> larger serving batches fit
     # (absolute peak: B=44 -> 1071.9 tok/s, but the batch-matched ratio
     # drops to 1.19 -- the modeled A100's bandwidth edge grows with batch)

@@ -210,10 +210,10 @@ class JanusModel:
             # who asked for int4 — 2× the planned weight HBM, no error
             if quantize is True:
                 quantize = "int8"
-            elif quantize not in ("int8", "int4", "int4g", "int4n"):
+            elif quantize not in ("int8", "w8a8", "int4", "int4g", "int4n"):
                 raise ValueError(
                     f"JanusModel.init(quantize={quantize!r}): expected "
-                    "True, 'int8', 'int4', 'int4g' or 'int4n'")
+                    "True, 'int8', 'w8a8', 'int4', 'int4g' or 'int4n'")
 
         def build(key):
             p = init_params(cfg, key)

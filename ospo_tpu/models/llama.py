@@ -182,6 +182,13 @@ def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]]
 
         y = (_quant.quantized_matmul_int4_group(x, w) if "gs" in w
              else _quant.quantized_matmul_int4(x, w))
+    elif isinstance(w, dict) and "sa" in w:
+        # W8A8 ({"q", "sa"}): dynamic per-token int8 activations, int8×int8
+        # dot with int32 accumulation — the MXU's 2× int8 rate for
+        # compute-bound large-M prefills (ops/quant.quantized_matmul_w8a8)
+        from ospo_tpu.ops import quant as _quant
+
+        y = _quant.quantized_matmul_w8a8(x, w)
     elif isinstance(w, dict):  # weight-only int8 ({"q", "s"}, ops/quant.py)
         y = jnp.einsum("btd,fd->btf", x, w["q"].astype(x.dtype))
         y = y * w["s"].astype(x.dtype)

@@ -74,6 +74,60 @@ def quantized_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
     return y * qw["s"].astype(x.dtype)
 
 
+def quantize_matrix_w8a8(w: jax.Array) -> Dict[str, jax.Array]:
+    """[..., F, D] → {"q": int8, "sa": f32 [..., F]} — the SAME payload as
+    :func:`quantize_matrix` (per-output-row symmetric int8), but the scale
+    key ``"sa"`` routes the matmul dispatch to the ACTIVATION-QUANTIZED
+    path (:func:`quantized_matmul_w8a8`): dynamic per-token int8
+    activations and an int8×int8 dot with int32 accumulation.
+
+    Motivation: v5e's MXU runs int8×int8 at 2× the bf16 FLOP rate
+    (394 INT8 TOPS vs 197 bf16 TFLOPS), so compute-bound LARGE-M matmuls
+    (scoring prefill: M ≈ rows×tokens ≈ 10k, measured 45% of bf16 peak —
+    BENCH_NOTES "Cross-item batched scoring") have ~2× arithmetic
+    headroom that W8A16's convert-into-read cannot reach.  The earlier
+    finding that int8 dots LOSE applies only to M=1 decode shapes, where
+    XLA never routes them to the MXU (BENCH_NOTES "Decode-attention
+    arithmetic bench"); this mode is for prefill-bound stages (step 4b),
+    not the HBM-bound decode loop.
+
+    Quality: per-token dynamic activation scales on top of the qualified
+    per-row int8 weights — the standard W8A8 serving recipe.  Gate with
+    ``scripts/validate_weights.py --quantize w8a8`` before production use
+    on real checkpoints (activation outliers in real 7B residual streams
+    are the known risk; random-weight activations are well-behaved).
+    """
+    out = quantize_matrix(w)
+    return {"q": out["q"], "sa": out["s"]}
+
+
+def quantize_activations_int8(x: jax.Array):
+    """[..., D] → (int8 values, f32 per-row scales [..., 1]) — symmetric
+    per-token (row) abs-max quantization, computed in f32 and fused by XLA
+    into the surrounding program (one VPU reduce + scale per row)."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+                     1e-12)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def quantized_matmul_w8a8(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
+    """y = x @ Wᵀ with BOTH sides int8: dynamic per-token activation
+    quantization, int8×int8 contraction accumulated in int32 (the MXU's
+    native int8 path), then the rank-1 scale correction
+    ``sx[row] · sa[col]`` applied in f32."""
+    xq, sx = quantize_activations_int8(x)
+    y = jnp.einsum("btd,fd->btf", xq, qw["q"],
+                   preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * sx * qw["sa"]).astype(x.dtype)
+
+
+def dequantize_matrix_w8a8(qw: Dict[str, jax.Array],
+                           dtype=jnp.bfloat16) -> jax.Array:
+    return (qw["q"].astype(jnp.float32) * qw["sa"][..., None]).astype(dtype)
+
+
 def quantize_matrix_int4(w: jax.Array) -> Dict[str, jax.Array]:
     """[..., F, D] → {"q4": int8 [..., F/2, D], "s": f32 [..., F]}.
 
@@ -223,6 +277,7 @@ def quantize_matrix_int4_native(w: jax.Array) -> Dict[str, jax.Array]:
 
 _QUANT_FNS = {
     "int8": quantize_matrix,
+    "w8a8": quantize_matrix_w8a8,
     "int4": quantize_matrix_int4,
     "int4g": quantize_matrix_int4_group,
     "int4n": quantize_matrix_int4_native,

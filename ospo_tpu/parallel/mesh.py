@@ -132,6 +132,11 @@ def _align_quant_specs(params: Any, specs: Any) -> Any:
             # collective-free story as per-row int4's "s" below.
             return {"q4": specs,
                     "gs": P(*tuple(specs)[: params["gs"].ndim - 1], None)}
+        if set(params) == {"q", "sa"} and isinstance(specs, P):
+            # W8A8: identical layout to {"q", "s"} — only the matmul
+            # dispatch differs (activation quantization is per-token,
+            # computed inside the program; nothing extra to shard)
+            return {"q": specs, "sa": P(*tuple(specs)[: params["sa"].ndim])}
         qkey = "q" if set(params) == {"q", "s"} else (
             "q4" if set(params) == {"q4", "s"} else None)
         if qkey is not None and isinstance(specs, P):

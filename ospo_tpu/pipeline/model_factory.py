@@ -90,11 +90,11 @@ def _validate_quantize_mode(config) -> str:
     unquantized bf16 trunk that OOMs — or quietly changes numerics — at
     the int8-tuned batch sizes."""
     qmode = (str(config.get("quantize") or "")).lower()
-    if qmode not in ("", "none", "false", "bf16", "int8", "int4", "int4g",
-                     "int4n"):
+    if qmode not in ("", "none", "false", "bf16", "int8", "w8a8", "int4",
+                     "int4g", "int4n"):
         raise ValueError(
             f"unrecognized quantize value {config.get('quantize')!r}: "
-            "use int8, int4, int4g, int4n, or unset/none/bf16")
+            "use int8, w8a8, int4, int4g, int4n, or unset/none/bf16")
     return qmode
 
 
@@ -126,11 +126,11 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
 
     # optional weight-only int8 (decode-path HBM relief; generation steps
     # only — training consumes full-precision weights)
-    if qmode in ("int8", "int4", "int4g", "int4n"):
+    if qmode in ("int8", "w8a8", "int4", "int4g", "int4n"):
         from ospo_tpu.ops import quant
 
         print(f"# Quantizing language-model weights to {qmode} "
-              f"(W{'8' if qmode == 'int8' else '4'}A16).")
+              f"({'W8A8' if qmode == 'w8a8' else 'W' + ('8' if qmode == 'int8' else '4') + 'A16'}).")
         # incremental (one stacked matrix at a time): a whole-tree
         # quantize jit double-resides bf16+quantized (~23 GB at 7B) when
         # the backend ignores donation, and every later allocation fails

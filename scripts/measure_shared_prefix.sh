@@ -82,6 +82,28 @@ fi
 run_point image_int4g_b32 OSPO_BENCH_MODE=image OSPO_BENCH_QUANT=int4g \
     OSPO_BENCH_BATCH=32
 
+# 3d. W8A8 (dynamic int8 activations — the MXU's 2× int8 rate for
+#     compute-bound prefills): prefill-shape microbench (does the int8
+#     dot actually run ~2×?), the 7B quality gate vs the bf16 reference,
+#     then the scoring serving point (prefill-MXU-bound stage)
+if ! grep -q "^POINT w8a8_prefill " "$LOG" 2>/dev/null; then
+  timeout 1800 python scripts/w8a8_prefill_bench.py 14 704 >> "$LOG.w8a8" 2>&1 \
+    && echo "POINT w8a8_prefill rc=0 see $LOG.w8a8" >> "$LOG" \
+    || echo "POINT w8a8_prefill rc=$? see $LOG.w8a8" >> "$LOG"
+fi
+if ! grep -q "^POINT w8a8_gate " "$LOG" 2>/dev/null; then
+  REF=outputs-timed/wgate_ref
+  [ -f "$REF/meta.json" ] || timeout 3600 python scripts/validate_weights.py \
+      --model_preset 7b --quantize none --phases divergence \
+      --export-reference "$REF" --out outputs-timed/wgate_export >> "$LOG.w8a8" 2>&1
+  timeout 3600 python scripts/validate_weights.py \
+      --model_preset 7b --quantize w8a8 --phases divergence \
+      --compare-reference "$REF" --out outputs-timed/wgate_w8a8 >> "$LOG.w8a8" 2>&1 \
+    && echo "POINT w8a8_gate rc=0 $(grep -o 'w_w8a8[^,}]*' outputs-timed/wgate_w8a8/validation_report.json | head -1)" >> "$LOG" \
+    || echo "POINT w8a8_gate rc=$? see $LOG.w8a8" >> "$LOG"
+fi
+run_point score_w8a8_rows14 OSPO_BENCH_MODE=score OSPO_BENCH_QUANT=w8a8
+
 # 4. shared-path batch sweep upward (the old B=80 OOM wall was prefix KV;
 #    riskiest points last, ascending so the first OOM stops the sweep)
 for B in 96 128 192 256; do

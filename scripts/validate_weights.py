@@ -293,7 +293,7 @@ def phase_divergence(model, processor, n_tokens: int, batch: int,
         if any(x.dtype == jnp.int8 for x in jax.tree.leaves(lm)):
             raise ValueError("--weight-divergence needs --quantize none "
                              "(the loaded trunk is already quantized)")
-        for wmode in ("int8", "int4", "int4g"):
+        for wmode in ("int8", "w8a8", "int4", "int4g"):
             qparams = {**model.params,
                        "language_model": quant.quantize_llama_params(
                            lm, mode=wmode)}
@@ -361,7 +361,7 @@ def main(argv=None) -> dict:
     parser.add_argument("--batch", type=int, default=2)
     parser.add_argument("--quantize", default="int8",
                         help="serving weight quantization for divergence/"
-                             "samples (int8 | none)")
+                             "samples (int8 | w8a8 | int4 | int4g | none)")
     parser.add_argument("--weight-divergence", action="store_true",
                         help="also measure bf16-vs-int8 WEIGHT divergence "
                              "(double trunk residency — needs >16GB or a "

@@ -1,0 +1,103 @@
+"""Does int8×int8 reach the MXU's 2× rate at PREFILL shapes?
+
+The decode-shape finding (scripts/int8_attention_bench.py, BENCH_NOTES)
+was that XLA never routes M=1 int8 dots to the MXU — int8 arithmetic
+LOST there.  Scoring prefill is the opposite regime: M = rows × tokens
+≈ 10k, compute-bound at ~45% of bf16 MXU peak, and v5e's int8 MXU rate
+is 2× bf16 (394 INT8 TOPS vs 197 bf16 TFLOPS).  This times the full 7B
+MLP stack (30 × [11008, 4096]) at the scoring-prefill shape under:
+
+- bf16              : the arithmetic ceiling reference
+- int8 W (W8A16)    : the shipped scoring default — convert fused into
+                      the dot read; arithmetic still bf16
+- W8A8 dynamic      : per-token int8 activations quantized in-program +
+                      int8×int8 dot with int32 accumulation
+                      (ops/quant.quantized_matmul_w8a8)
+- W8A8 pre-quant x  : same dot with the activation quantization hoisted
+                      out of the timed region — isolates the dot itself
+
+Run on the real chip:  python scripts/w8a8_prefill_bench.py [rows] [tokens]
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# self-contained path setup: add the repo root WITHOUT touching
+# PYTHONPATH (replacing PYTHONPATH drops the environment's plugin site
+# and the TPU backend with it)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ospo_tpu.ops import quant  # noqa: E402
+
+L, F, D = 30, 11008, 4096   # full 7B MLP stack
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 14
+TOKS = int(sys.argv[2]) if len(sys.argv) > 2 else 704
+TFLOP = 2 * ROWS * TOKS * F * D * L / 1e12
+
+
+def timeit(name, fn, *args):
+    try:
+        fn_j = jax.jit(fn)
+        jax.block_until_ready(fn_j(*args))
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            jax.block_until_ready(fn_j(*args))
+            times.append(time.time() - t0)
+        dt = min(times)
+        print(f"{name:16s} {dt*1e3:8.2f} ms  "
+              f"{TFLOP/dt:7.1f} TFLOP/s-equiv  (rows={ROWS} toks={TOKS})")
+        return dt
+    except Exception as e:
+        print(f"{name:16s} FAILED: {type(e).__name__}: {e}")
+        return None
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    print(f"# init weights... ({TFLOP:.1f} TFLOP per chain)", flush=True)
+
+    @jax.jit
+    def build(key):
+        w = jax.random.normal(key, (L, F, D), jnp.bfloat16) * 0.02
+        x = jax.random.normal(jax.random.fold_in(key, 1), (ROWS, TOKS, D),
+                              jnp.bfloat16)
+        return w, x, quant.quantize_matrix(w), quant.quantize_matrix_w8a8(w)
+
+    w, x, q8, qa = jax.block_until_ready(build(key))
+    print("# inputs ready", flush=True)
+
+    def scan_over(f, weights):
+        # chain activations through every layer so no two matmuls share an
+        # input (CSE-proof); each step reads one [F, D] slice exactly once
+        def body(acc, wl):
+            y = f(acc, wl)                       # [ROWS, TOKS, F]
+            return (acc + y[..., :D] * jnp.bfloat16(1e-6)), None
+        acc, _ = jax.lax.scan(body, x, weights)
+        return acc
+
+    timeit("bf16", lambda w_: scan_over(
+        lambda x_, wl: jnp.einsum("btd,fd->btf", x_, wl), w_), w)
+    timeit("int8 W (W8A16)", lambda q_: scan_over(
+        quant.quantized_matmul, q_), q8)
+    timeit("w8a8 dynamic", lambda q_: scan_over(
+        quant.quantized_matmul_w8a8, q_), qa)
+
+    # dot-only variant: activations quantized ONCE outside the chain (the
+    # chain then re-quantizes only the int32→f32 rescaled carry — close
+    # enough to isolate whether the int8 dot itself runs at 2×)
+    def dot_only(x_, wl_s):
+        xq, sx = quant.quantize_activations_int8(x_)
+        y = jnp.einsum("btd,fd->btf", xq, wl_s["q"],
+                       preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * sx * wl_s["sa"]).astype(x_.dtype)
+
+    timeit("w8a8 (alias)", lambda q_: scan_over(dot_only, q_), qa)
+
+
+if __name__ == "__main__":
+    main()

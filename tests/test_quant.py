@@ -328,3 +328,117 @@ def test_int4_group_tp_sharding_matches_single_device():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_w8a8_matmul_exact_vs_emulated():
+    """int8×int8 accumulation in int32 is EXACT, so the w8a8 matmul must
+    equal the f32 emulation (dequantized int8 activations × dequantized
+    int8 weights) to float rounding."""
+    w = jax.random.normal(jax.random.PRNGKey(1), (12, 32), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 32), jnp.float32)
+    qw = quant.quantize_matrix_w8a8(w)
+    assert set(qw) == {"q", "sa"} and qw["q"].dtype == jnp.int8
+
+    xq, sx = quant.quantize_activations_int8(x)
+    ref = jnp.einsum(
+        "btd,fd->btf",
+        xq.astype(jnp.float32) * sx,
+        qw["q"].astype(jnp.float32) * qw["sa"][..., None])
+    out = quant.quantized_matmul_w8a8(x, qw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_w8a8_llama_forward_close():
+    """mode='w8a8' flows through the stacked-layer forward (dispatch on
+    the 'sa' key) and stays close to bf16 — the activation quantization
+    adds error on top of W8A16, but both are serving trades."""
+    cfg = llama.tiny_config(hidden_size=128, intermediate_size=256,
+                            num_heads=4)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.arange(24).reshape(2, 12) % cfg.vocab_size
+    mask = jnp.ones((2, 12), jnp.int32)
+    pos = llama.positions_from_mask(mask)
+    x = llama.embed_tokens(params, ids)
+
+    ref, _ = llama.forward(params, cfg, x, mask, pos)
+    out, _ = llama.forward(
+        quant.quantize_llama_params(params, mode="w8a8"), cfg, x, mask, pos)
+    a = np.asarray(ref, np.float32)
+    b = np.asarray(out, np.float32)
+    assert np.abs(b - a).mean() / np.abs(a).mean() < 0.08
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_w8a8_cached_prefill_matches_uncached():
+    """w8a8 params through the KV-cached prefill path (the scoring
+    engine's program shape) must match the cache-free forward — the
+    activation-quantized projections are upstream of the cache writes."""
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = quant.quantize_llama_params(params, mode="w8a8")
+    ids = jnp.arange(16).reshape(2, 8) % cfg.vocab_size
+    mask = jnp.ones((2, 8), jnp.int32)
+    pos = llama.positions_from_mask(mask)
+    x = llama.embed_tokens(params, ids)
+    ref, _ = llama.forward(qparams, cfg, x, mask, pos)
+
+    kv = llama.init_kv_cache(cfg, 2, 8, layout="shbd")
+    out, _ = llama.forward(qparams, cfg, x, mask, pos,
+                           kv_cache=kv, self_attn=True, cache_layout="shbd")
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_w8a8_tp_sharding_matches_single_device():
+    """w8a8 params shard onto a model-parallel mesh ({"q","sa"} spec
+    alignment) and the sharded forward matches single-device."""
+    from ospo_tpu.parallel import mesh as mesh_lib
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = quant.quantize_llama_params(params, mode="w8a8")
+    ids = jnp.arange(16).reshape(2, 8) % cfg.vocab_size
+    mask = jnp.ones((2, 8), jnp.int32)
+    pos = llama.positions_from_mask(mask)
+    x = llama.embed_tokens(params, ids)
+    ref, _ = llama.forward(qparams, cfg, x, mask, pos)
+
+    mesh = mesh_lib.create_mesh(model_parallel=2)
+    specs = mesh_lib._align_quant_specs(qparams, mesh_lib.llama_param_specs())
+    sharded = jax.tree.map(
+        lambda p, s: jax.device_put(
+            p, jax.sharding.NamedSharding(mesh, s)),
+        qparams, specs)
+    out, _ = llama.forward(sharded, cfg, x, mask, pos)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_w8a8_janus_init_and_scoring_engine():
+    """JanusModel.init(quantize='w8a8') builds the marked trunk, and the
+    scoring engine's shared-prefix program runs on it (the target stage
+    for the 2× int8 MXU rate)."""
+    from PIL import Image
+
+    from ospo_tpu.engine.scoring import ScoringEngine
+    from ospo_tpu.image_processing import ImageProcessor
+    from ospo_tpu.processing import Processor
+    from ospo_tpu.tokenizer import ByteTokenizer
+
+    cfg = janus.tiny_janus_config()
+    model = janus.JanusModel.init(cfg, seed=0, quantize="w8a8")
+    assert "sa" in model.params["language_model"]["layers"]["wq"]
+
+    tok = ByteTokenizer(vocab_size=min(512, cfg.language.vocab_size))
+    proc = Processor(tok, ImageProcessor(image_size=cfg.vision.image_size),
+                     num_image_tokens=cfg.num_image_tokens)
+    engine = ScoringEngine(model, proc, kv_quant="int8")
+    img = Image.new("RGB", (cfg.vision.image_size,) * 2, (90, 40, 20))
+    res = engine.score_images([img], ["Is there a cube?", "Is it red?"])
+    assert len(res) == 1
+    assert np.isfinite(res[0]["local_score"])
+    assert np.isfinite(res[0]["global_score"])
