@@ -153,11 +153,12 @@ def bench_train(preset: str) -> None:
     cfg = dataclasses.replace(
         cfg, vision=dataclasses.replace(cfg.vision, layers=1, width=128)
     )
-    quant_base = os.environ.get("OSPO_BENCH_QUANT") == "int8"
+    qb_env = os.environ.get("OSPO_BENCH_QUANT")
+    quant_base = qb_env if qb_env in ("int8", "w8a8") else False
     model = janus_lib.JanusModel.init(cfg, seed=0, quantize=quant_base)
     model.params["language_model"]["lm_head"] = jnp.zeros((1, 1), cfg.dtype)
     if quant_base:
-        print("# QLoRA: int8 frozen trunk", file=sys.stderr)
+        print(f"# QLoRA: {quant_base} frozen trunk", file=sys.stderr)
 
     tok = ByteTokenizer(vocab_size=min(512, cfg.language.vocab_size))
     proc = Processor(tok, ImageProcessor(image_size=cfg.gen_image_size),
@@ -169,9 +170,10 @@ def bench_train(preset: str) -> None:
         "optimizer": {"init_lr": 4e-5, "scheduler_type": "constant"},
         "experiment": {"seed": 0, "max_training_steps": 10,
                        "gradient_checkpointing": True, "log_steps": 100,
-                       # QLoRA-style int8 frozen trunk (OSPO_BENCH_QUANT)
-                       "quantize_base":
-                           os.environ.get("OSPO_BENCH_QUANT") == "int8"},
+                       # QLoRA-style int8/w8a8 frozen trunk
+                       # (OSPO_BENCH_QUANT; the init above already
+                       # quantized, so this only records intent)
+                       "quantize_base": quant_base},
         "algo": {"beta": 10, "gamma_beta_ratio": 0.5, "loss_type": "sigmoid"},
     })
     trainer = SimPOTrainer(config, model, proc)

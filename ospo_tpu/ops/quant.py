@@ -112,15 +112,51 @@ def quantize_activations_int8(x: jax.Array):
     return xq, sx
 
 
+def _w8a8_raw(x: jax.Array, q: jax.Array, sa: jax.Array) -> jax.Array:
+    xq, sx = quantize_activations_int8(x)
+    y = jnp.einsum("btd,fd->btf", xq, q,
+                   preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * sx * sa).astype(x.dtype)
+
+
+@jax.custom_vjp
+def _w8a8_matmul(x: jax.Array, q: jax.Array, sa: jax.Array) -> jax.Array:
+    return _w8a8_raw(x, q, sa)
+
+
+def _w8a8_matmul_fwd(x, q, sa):
+    return _w8a8_raw(x, q, sa), (q, sa)
+
+
+def _w8a8_matmul_bwd(res, g):
+    # Straight-through estimator: differentiate as if the forward were
+    # the DEQUANTIZED matmul x @ (q·sa)ᵀ — without this, jnp.round's
+    # zero gradient would silently kill every activation gradient
+    # flowing through a w8a8 trunk (QLoRA training: LoRA layers below
+    # the first w8a8 matmul would never learn).  The weight operands are
+    # frozen serving constants, so their cotangents are symbolic zeros.
+    import numpy as np
+
+    q, sa = res
+    gf = (g.astype(jnp.float32) * sa).astype(jnp.bfloat16)
+    dx = jnp.einsum("btf,fd->btd", gf, q.astype(jnp.bfloat16))
+    return (dx.astype(g.dtype), np.zeros(q.shape, jax.dtypes.float0),
+            jnp.zeros_like(sa))
+
+
+_w8a8_matmul.defvjp(_w8a8_matmul_fwd, _w8a8_matmul_bwd)
+
+
 def quantized_matmul_w8a8(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
     """y = x @ Wᵀ with BOTH sides int8: dynamic per-token activation
     quantization, int8×int8 contraction accumulated in int32 (the MXU's
     native int8 path), then the rank-1 scale correction
-    ``sx[row] · sa[col]`` applied in f32."""
-    xq, sx = quantize_activations_int8(x)
-    y = jnp.einsum("btd,fd->btf", xq, qw["q"],
-                   preferred_element_type=jnp.int32)
-    return (y.astype(jnp.float32) * sx * qw["sa"]).astype(x.dtype)
+    ``sx[row] · sa[col]`` applied in f32.
+
+    Differentiable w.r.t. ``x`` via a straight-through estimator (the
+    dequantized-weight backward, run in bf16) so a w8a8 frozen trunk can
+    serve QLoRA training (``experiment.quantize_base: w8a8``)."""
+    return _w8a8_matmul(x, qw["q"], qw["sa"])
 
 
 def dequantize_matrix_w8a8(qw: Dict[str, jax.Array],

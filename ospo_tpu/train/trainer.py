@@ -44,6 +44,29 @@ def _bucket(n: int, step: int = 32) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+def _parse_quantize_base(value):
+    """Normalize ``experiment.quantize_base`` to None | "int8" | "w8a8".
+
+    Unknown spellings raise (project convention: a silently-ignored
+    quantize knob changes HBM by GBs at the tuned batch sizes).  int4
+    modes are deliberately NOT offered here — their training-gradient
+    behavior is untested."""
+    if value is None or value is False:
+        return None
+    if value is True:
+        return "int8"
+    s = str(value).strip().lower()
+    if s in ("", "none", "false", "bf16", "0", "off"):
+        return None
+    if s in ("true", "1", "on"):
+        return "int8"
+    if s in ("int8", "w8a8"):
+        return s
+    raise ValueError(
+        f"unrecognized quantize_base value {value!r}: use int8, w8a8, "
+        "true (= int8), or false/unset (bf16 trunk)")
+
+
 class SimPOTrainer:
     def __init__(self, config, model: janus_lib.JanusModel, processor):
         self.config = config
@@ -124,12 +147,15 @@ class SimPOTrainer:
         if self.use_peft:
             already_quantized = isinstance(
                 model.params["language_model"]["layers"]["wq"], dict)
-            if bool(exp.get("quantize_base")) and not already_quantized:
+            qb_mode = _parse_quantize_base(exp.get("quantize_base"))
+            if qb_mode and not already_quantized:
                 # QLoRA-style memory lever (beyond the reference): the
-                # frozen trunk's projections go W8A16 int8 (~6.6GB saved at
-                # 7B → roughly double the train batch); LoRA matmuls and
-                # grads stay bf16/fp32, the quantized base is a constant in
-                # the backward pass.  embed/norms stay bf16 (ops/quant.py).
+                # frozen trunk's projections go int8 — W8A16 (~6.6GB saved
+                # at 7B → roughly double the train batch) or W8A8 (same
+                # bytes + the MXU's 2× int8 rate on the compute-bound 2B
+                # concatenated forward; STE backward, ops/quant.py); LoRA
+                # matmuls and grads stay bf16/fp32, the quantized base is
+                # a constant in the backward pass.  embed/norms stay bf16.
                 from ospo_tpu.ops import quant
 
                 # incremental per-matrix quantize + explicit deletes: a
@@ -140,7 +166,7 @@ class SimPOTrainer:
                 model.params = {
                     **model.params,
                     "language_model": quant.quantize_llama_params_incremental(
-                        model.params["language_model"]),
+                        model.params["language_model"], mode=qb_mode),
                 }
             self.trainable = lora_lib.init_lora(
                 model.cfg.language, self.lora_cfg, jax.random.PRNGKey(self.seed)

@@ -103,6 +103,12 @@ if ! grep -q "^POINT w8a8_gate " "$LOG" 2>/dev/null; then
     || echo "POINT w8a8_gate rc=$? see $LOG.w8a8" >> "$LOG"
 fi
 run_point score_w8a8_rows14 OSPO_BENCH_MODE=score OSPO_BENCH_QUANT=w8a8
+# train-step A/B (same session, interleaved-once: the 2B concatenated
+# forward is the compute-bound large-M regime w8a8 targets)
+run_point train_int8_b4 OSPO_BENCH_MODE=train OSPO_BENCH_QUANT=int8 \
+    OSPO_BENCH_BATCH=4
+run_point train_w8a8_b4 OSPO_BENCH_MODE=train OSPO_BENCH_QUANT=w8a8 \
+    OSPO_BENCH_BATCH=4
 
 # 4. shared-path batch sweep upward (the old B=80 OOM wall was prefix KV;
 #    riskiest points last, ascending so the first OOM stops the sweep)

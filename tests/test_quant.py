@@ -442,3 +442,50 @@ def test_w8a8_janus_init_and_scoring_engine():
     assert len(res) == 1
     assert np.isfinite(res[0]["local_score"])
     assert np.isfinite(res[0]["global_score"])
+
+
+def test_w8a8_ste_gradient_matches_dequant_backward():
+    """The w8a8 matmul's custom-vjp backward must be the straight-through
+    (dequantized-weight) backward — and, critically, NONZERO: without the
+    custom_vjp, jnp.round's zero gradient would silently kill every
+    activation gradient through a w8a8 trunk (QLoRA layers below it would
+    never learn)."""
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (24, 16), jnp.float32) * 0.5
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 5, 16),
+                          jnp.bfloat16)
+    g = jax.random.normal(jax.random.fold_in(key, 2), (2, 5, 24),
+                          jnp.bfloat16)
+    qw = quant.quantize_matrix_w8a8(w)
+
+    _, vjp = jax.vjp(lambda x_: quant.quantized_matmul_w8a8(x_, qw), x)
+    (dx,) = vjp(g)
+    assert float(jnp.abs(dx.astype(jnp.float32)).max()) > 0
+
+    wdeq = quant.dequantize_matrix_w8a8(qw, jnp.bfloat16)
+    dx_ref = jnp.einsum("btf,fd->btd", g, wdeq)
+    np.testing.assert_allclose(np.asarray(dx, np.float32),
+                               np.asarray(dx_ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_w8a8_ste_gradient_under_jit_scan():
+    """The custom_vjp survives jit + lax.scan over stacked layers (the
+    trainer's remat/scan forward): gradients w.r.t. a bf16 input through
+    two scanned w8a8 matmuls stay finite and nonzero."""
+    key = jax.random.PRNGKey(3)
+    w = jax.random.normal(key, (2, 16, 16), jnp.float32) * 0.5
+    x = jax.random.normal(jax.random.fold_in(key, 1), (1, 4, 16),
+                          jnp.bfloat16)
+    qw = quant.quantize_matrix_w8a8(w)
+
+    @jax.jit
+    def loss(x_):
+        def body(acc, wl):
+            return quant.quantized_matmul_w8a8(acc, wl), None
+        out, _ = jax.lax.scan(body, x_, qw)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    dx = jax.grad(loss)(x)
+    a = np.asarray(dx, np.float32)
+    assert np.isfinite(a).all() and np.abs(a).max() > 0

@@ -143,3 +143,64 @@ def test_fit_counts_optimizer_updates_not_micro_batches(tmp_path):
     # 2 optimizer updates consumed 4 micro-batches of the 8 available
     assert trainer.global_step == 2
     assert not np.array_equal(p0, np.asarray(trainer.trainable["q_proj"]["b"]))
+
+
+def test_quantize_base_w8a8_step(tmp_path):
+    """W8A8 frozen trunk (experiment.quantize_base: 'w8a8' — int8
+    activations for the MXU's 2× rate on the 2B concatenated forward):
+    the step runs through the STE backward, the loss is finite and close
+    to the W8A16 trunk's on the same batch, and the adapters update."""
+    import pytest
+
+    losses = {}
+    for mode in ("int8", "w8a8"):
+        cfg = janus.tiny_janus_config()
+        model = janus.JanusModel.init(cfg, seed=0)
+        tok = ByteTokenizer(vocab_size=cfg.language.vocab_size)
+        proc = Processor(tok, ImageProcessor(image_size=cfg.gen_image_size),
+                         num_image_tokens=cfg.num_image_tokens)
+        config = Config.from_nested({
+            "base": {"save_path": str(tmp_path), "exp_name": f"q_{mode}"},
+            "use_peft": True,
+            "lora": {"lora_rank": 4, "lora_alpha": 8, "lora_dropout": 0.0},
+            "optimizer": {"init_lr": 1e-3, "scheduler_type": "constant"},
+            "experiment": {"seed": 0, "max_training_steps": 2,
+                           "log_steps": 100,
+                           "gradient_checkpointing": False,
+                           "quantize_base": mode},
+            "algo": {"beta": 10, "gamma_beta_ratio": 0.5,
+                     "loss_type": "sigmoid"},
+        })
+        trainer = SimPOTrainer(config, model, proc)
+        wq = model.params["language_model"]["layers"]["wq"]
+        assert isinstance(wq, dict)
+        assert ("sa" in wq) == (mode == "w8a8")
+
+        b = batch(cfg, b=2)
+        before = np.asarray(trainer.trainable["q_proj"]["b"]).copy()
+        trainer.trainable, trainer.opt_state, m = trainer._step(
+            trainer.trainable, trainer.opt_state, **b)
+        losses[mode] = float(m["loss"])
+        assert np.isfinite(losses[mode])
+        after = np.asarray(trainer.trainable["q_proj"]["b"])
+        assert not np.array_equal(before, after), \
+            f"adapters did not update under quantize_base={mode} " \
+            "(zero gradients — STE backward broken?)"
+    # both trunks quantize the same bf16 weights; the activation
+    # quantization adds bounded noise, not a different objective
+    assert losses["w8a8"] == pytest.approx(losses["int8"], rel=0.05)
+
+
+def test_parse_quantize_base_rejects_unknown():
+    import pytest
+
+    from ospo_tpu.train.trainer import _parse_quantize_base
+
+    assert _parse_quantize_base(None) is None
+    assert _parse_quantize_base(True) == "int8"
+    assert _parse_quantize_base("w8a8") == "w8a8"
+    assert _parse_quantize_base("bf16") is None
+    with pytest.raises(ValueError):
+        _parse_quantize_base("int4")
+    with pytest.raises(ValueError):
+        _parse_quantize_base("in8")
