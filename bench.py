@@ -124,6 +124,19 @@ def build_bench_model(preset: str):
     params = jax.jit(init)(jax.random.PRNGKey(0))
     if quant_mode:
         print(f"# {quant_mode} weight quantization enabled", file=sys.stderr)
+    sharpen = float(os.environ.get("OSPO_BENCH_SHARPEN", "0") or 0)
+    if sharpen:
+        # scale the gen-head output layer: random-init logits are
+        # near-uniform (SJD acceptance floor ~1.04 tok/iter — drafts from
+        # flat distributions almost never re-sample consistently), so a
+        # sharpened head gives an honest acceptance-vs-output-entropy
+        # characterization of the SJD machinery without trained weights
+        gh = dict(params["gen_head"])
+        gh["head"] = {k: (v * sharpen if k == "w" else v)
+                      for k, v in gh["head"].items()}
+        params = {**params, "gen_head": gh}
+        print(f"# gen_head sharpened x{sharpen} (SJD acceptance probe)",
+              file=sys.stderr)
     return janus_lib.JanusModel(cfg, params)
 
 
@@ -591,6 +604,12 @@ def main() -> None:
         "hbm_bw_pct": round(bw_pct, 1),
         "batch": used_batch,
         "preset": preset,
+        # SJD runs: Jacobi iterations of the last call + accepted
+        # tokens/iteration (the speedup driver; ~1.04 on flat random-init
+        # logits, probe entropy dependence via OSPO_BENCH_SHARPEN)
+        **({"sjd_iters": engine.last_sjd_iters,
+            "tok_per_iter": round(n_tokens / engine.last_sjd_iters, 3)}
+           if int(os.environ.get("OSPO_BENCH_SJD", "0")) else {}),
     }))
 
 

@@ -109,6 +109,10 @@ run_point train_int8_b4 OSPO_BENCH_MODE=train OSPO_BENCH_QUANT=int8 \
     OSPO_BENCH_BATCH=4
 run_point train_w8a8_b4 OSPO_BENCH_MODE=train OSPO_BENCH_QUANT=w8a8 \
     OSPO_BENCH_BATCH=4
+# (SJD sharpen probe deliberately NOT queued: the CPU 1b experiment
+# showed sharpening random-weight logits DECREASES acceptance — see
+# BENCH_NOTES "SJD acceptance on random weights" — so a chip sweep would
+# answer an already-answered question.)
 
 # 4. shared-path batch sweep upward (the old B=80 OOM wall was prefix KV;
 #    riskiest points last, ascending so the first OOM stops the sweep)
