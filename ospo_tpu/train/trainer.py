@@ -145,9 +145,23 @@ class SimPOTrainer:
         # trainable state — either LoRA adapters (use_peft) or the unfrozen
         # submodules of the freeze matrix (full finetune, train.py:148-216)
         if self.use_peft:
-            already_quantized = isinstance(
-                model.params["language_model"]["layers"]["wq"], dict)
+            wq = model.params["language_model"]["layers"]["wq"]
+            already_quantized = isinstance(wq, dict)
             qb_mode = _parse_quantize_base(exp.get("quantize_base"))
+            if qb_mode and already_quantized:
+                # the trunk was quantized upstream (factory / init) — it
+                # must match the MODE this config asks to train with, or
+                # the run silently measures/trains a different trunk
+                # (worse: a pre-quantized int4 trunk would train through
+                # the deliberately-unoffered int4 gradient path)
+                have = ("w8a8" if "sa" in wq
+                        else "int8" if set(wq) == {"q", "s"} else "int4*")
+                if have != qb_mode:
+                    raise ValueError(
+                        f"experiment.quantize_base={qb_mode!r} but the "
+                        f"model's trunk is already {have}-quantized — "
+                        "rebuild the model unquantized (quantize: none) "
+                        "or align the two settings")
             if qb_mode and not already_quantized:
                 # QLoRA-style memory lever (beyond the reference): the
                 # frozen trunk's projections go int8 — W8A16 (~6.6GB saved

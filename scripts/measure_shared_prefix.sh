@@ -68,17 +68,36 @@ if ! grep -q "^POINT int4g_matmul " "$LOG" 2>/dev/null; then
     && echo "POINT int4g_matmul rc=0 see $LOG.int4g" >> "$LOG" \
     || echo "POINT int4g_matmul rc=$? see $LOG.int4g" >> "$LOG"
 fi
-if ! grep -q "^POINT int4g_gate " "$LOG" 2>/dev/null; then
-  REF=outputs-timed/wgate_ref
+# run_gate <mode>: two-process 7B weight gate for one quantize mode —
+# exports the shared bf16 reference once, compares, logs the kl/top-1
+# pulled from the (indented) JSON report by key, not by fragile grep
+run_gate() {
+  local mode="$1"
+  grep -q "^POINT ${mode}_gate " "$LOG" 2>/dev/null && {
+    echo "# skip (done): ${mode}_gate"; return 0; }
+  local REF=outputs-timed/wgate_ref GLOG="$LOG.$mode"
   [ -f "$REF/meta.json" ] || timeout 3600 python scripts/validate_weights.py \
       --model_preset 7b --quantize none --phases divergence \
-      --export-reference "$REF" --out outputs-timed/wgate_export >> "$LOG.int4g" 2>&1
-  timeout 3600 python scripts/validate_weights.py \
-      --model_preset 7b --quantize int4g --phases divergence \
-      --compare-reference "$REF" --out outputs-timed/wgate_int4g >> "$LOG.int4g" 2>&1 \
-    && echo "POINT int4g_gate rc=0 $(grep -o 'w_int4g[^,}]*' outputs-timed/wgate_int4g/validation_report.json | head -1)" >> "$LOG" \
-    || echo "POINT int4g_gate rc=$? see $LOG.int4g" >> "$LOG"
-fi
+      --export-reference "$REF" --out outputs-timed/wgate_export >> "$GLOG" 2>&1
+  if timeout 3600 python scripts/validate_weights.py \
+      --model_preset 7b --quantize "$mode" --phases divergence \
+      --compare-reference "$REF" --out "outputs-timed/wgate_$mode" \
+      >> "$GLOG" 2>&1; then
+    local metric
+    metric=$(python - "$mode" <<'PY'
+import json, sys
+d = json.load(open(f"outputs-timed/wgate_{sys.argv[1]}/validation_report.json"))
+k = next(k for k in d if k.startswith("w_"))
+print(f"{k} kl={d[k]['kl_mean']:.4f} top1={d[k]['top1_agree']:.3f}")
+PY
+)
+    echo "POINT ${mode}_gate rc=0 $metric" >> "$LOG"
+  else
+    echo "POINT ${mode}_gate rc=$? see $GLOG" >> "$LOG"
+  fi
+}
+
+run_gate int4g
 run_point image_int4g_b32 OSPO_BENCH_MODE=image OSPO_BENCH_QUANT=int4g \
     OSPO_BENCH_BATCH=32
 
@@ -91,17 +110,7 @@ if ! grep -q "^POINT w8a8_prefill " "$LOG" 2>/dev/null; then
     && echo "POINT w8a8_prefill rc=0 see $LOG.w8a8" >> "$LOG" \
     || echo "POINT w8a8_prefill rc=$? see $LOG.w8a8" >> "$LOG"
 fi
-if ! grep -q "^POINT w8a8_gate " "$LOG" 2>/dev/null; then
-  REF=outputs-timed/wgate_ref
-  [ -f "$REF/meta.json" ] || timeout 3600 python scripts/validate_weights.py \
-      --model_preset 7b --quantize none --phases divergence \
-      --export-reference "$REF" --out outputs-timed/wgate_export >> "$LOG.w8a8" 2>&1
-  timeout 3600 python scripts/validate_weights.py \
-      --model_preset 7b --quantize w8a8 --phases divergence \
-      --compare-reference "$REF" --out outputs-timed/wgate_w8a8 >> "$LOG.w8a8" 2>&1 \
-    && echo "POINT w8a8_gate rc=0 $(grep -o 'w_w8a8[^,}]*' outputs-timed/wgate_w8a8/validation_report.json | head -1)" >> "$LOG" \
-    || echo "POINT w8a8_gate rc=$? see $LOG.w8a8" >> "$LOG"
-fi
+run_gate w8a8
 run_point score_w8a8_rows14 OSPO_BENCH_MODE=score OSPO_BENCH_QUANT=w8a8
 # train-step A/B (same session, interleaved-once: the 2B concatenated
 # forward is the compute-bound large-M regime w8a8 targets)

@@ -13,8 +13,9 @@ MLP stack (30 × [11008, 4096]) at the scoring-prefill shape under:
 - W8A8 dynamic      : per-token int8 activations quantized in-program +
                       int8×int8 dot with int32 accumulation
                       (ops/quant.quantized_matmul_w8a8)
-- W8A8 pre-quant x  : same dot with the activation quantization hoisted
-                      out of the timed region — isolates the dot itself
+- W8A8 dot-only     : activations quantized once for the whole stack
+                      (outside the per-layer work) — the gap to "W8A8
+                      dynamic" is the activation-quantization overhead
 
 Run on the real chip:  python scripts/w8a8_prefill_bench.py [rows] [tokens]
 """
@@ -32,8 +33,15 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ospo_tpu.ops import quant  # noqa: E402
+from ospo_tpu.platform import apply_platform_env  # noqa: E402
 
-L, F, D = 30, 11008, 4096   # full 7B MLP stack
+# honor OSPO_PLATFORM=cpu (smoke runs while the tunnel is down) — the
+# env var alone is not enough because a sitecustomize pre-imports jax
+apply_platform_env()
+
+# full 7B MLP stack; OSPO_W8A8_SHAPE="L,F,D" overrides (CPU smoke tests)
+L, F, D = (int(v) for v in
+           os.environ.get("OSPO_W8A8_SHAPE", "30,11008,4096").split(","))
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 14
 TOKS = int(sys.argv[2]) if len(sys.argv) > 2 else 704
 TFLOP = 2 * ROWS * TOKS * F * D * L / 1e12
@@ -71,32 +79,44 @@ def main():
     w, x, q8, qa = jax.block_until_ready(build(key))
     print("# inputs ready", flush=True)
 
-    def scan_over(f, weights):
+    # x rides as a jit ARGUMENT everywhere (an ~80MB closure constant
+    # risks the tunnel's HTTP-413 compile-payload rejection)
+    def scan_over(f, x_, weights):
         # chain activations through every layer so no two matmuls share an
         # input (CSE-proof); each step reads one [F, D] slice exactly once
         def body(acc, wl):
             y = f(acc, wl)                       # [ROWS, TOKS, F]
             return (acc + y[..., :D] * jnp.bfloat16(1e-6)), None
-        acc, _ = jax.lax.scan(body, x, weights)
+        acc, _ = jax.lax.scan(body, x_, weights)
         return acc
 
-    timeit("bf16", lambda w_: scan_over(
-        lambda x_, wl: jnp.einsum("btd,fd->btf", x_, wl), w_), w)
-    timeit("int8 W (W8A16)", lambda q_: scan_over(
-        quant.quantized_matmul, q_), q8)
-    timeit("w8a8 dynamic", lambda q_: scan_over(
-        quant.quantized_matmul_w8a8, q_), qa)
+    timeit("bf16", lambda x_, w_: scan_over(
+        lambda h, wl: jnp.einsum("btd,fd->btf", h, wl), x_, w_), x, w)
+    timeit("int8 W (W8A16)", lambda x_, q_: scan_over(
+        quant.quantized_matmul, x_, q_), x, q8)
+    timeit("w8a8 dynamic", lambda x_, q_: scan_over(
+        quant.quantized_matmul_w8a8, x_, q_), x, qa)
 
-    # dot-only variant: activations quantized ONCE outside the chain (the
-    # chain then re-quantizes only the int32→f32 rescaled carry — close
-    # enough to isolate whether the int8 dot itself runs at 2×)
-    def dot_only(x_, wl_s):
+    # dot-only variant: activations quantized ONCE, outside the timed
+    # scan — every layer reuses the same xq against its OWN weights
+    # (distinct dots, so nothing CSEs away; the f32 carry sum prevents
+    # DCE).  The gap between this and "w8a8 dynamic" above IS the
+    # per-layer activation-quantization overhead.
+    def dots_only(x_, q_):
         xq, sx = quant.quantize_activations_int8(x_)
-        y = jnp.einsum("btd,fd->btf", xq, wl_s["q"],
-                       preferred_element_type=jnp.int32)
-        return (y.astype(jnp.float32) * sx * wl_s["sa"]).astype(x_.dtype)
 
-    timeit("w8a8 (alias)", lambda q_: scan_over(dot_only, q_), qa)
+        def body(acc, wl_s):
+            y = jnp.einsum("btd,fd->btf", xq, wl_s["q"],
+                           preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * sx * wl_s["sa"]
+            # full-tensor reduce: a narrow slice here would let XLA shrink
+            # the dot itself (slice-through-dot narrowing) and fake the time
+            return acc + y.sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), q_)
+        return acc
+
+    timeit("w8a8 dot-only", dots_only, x, qa)
 
 
 if __name__ == "__main__":

@@ -22,7 +22,8 @@ while true; do
     echo "$(date -u +%FT%TZ) tunnel UP — starting campaign" >> "$WLOG"
     bash scripts/measure_shared_prefix.sh outputs-timed/shared_prefix_sweep.log \
       >> "$WLOG" 2>&1
-    echo "$(date -u +%FT%TZ) campaign finished (rc=$?)" >> "$WLOG"
+    rc=$?  # capture BEFORE the $(date) substitution resets $?
+    echo "$(date -u +%FT%TZ) campaign finished (rc=$rc)" >> "$WLOG"
     exit 0
   fi
   echo "$(date -u +%FT%TZ) tunnel still down" >> "$WLOG"

@@ -204,3 +204,27 @@ def test_parse_quantize_base_rejects_unknown():
         _parse_quantize_base("int4")
     with pytest.raises(ValueError):
         _parse_quantize_base("in8")
+
+
+def test_quantize_base_mode_mismatch_raises(tmp_path):
+    """A trunk pre-quantized in a different mode than quantize_base asks
+    for must raise — otherwise a w8a8-vs-int8 A/B silently measures the
+    wrong trunk (or trains through the unoffered int4 gradient path)."""
+    import pytest
+
+    cfg = janus.tiny_janus_config()
+    model = janus.JanusModel.init(cfg, seed=0, quantize="int8")
+    tok = ByteTokenizer(vocab_size=cfg.language.vocab_size)
+    proc = Processor(tok, ImageProcessor(image_size=cfg.gen_image_size),
+                     num_image_tokens=cfg.num_image_tokens)
+    config = Config.from_nested({
+        "base": {"save_path": str(tmp_path), "exp_name": "mm"},
+        "use_peft": True,
+        "lora": {"lora_rank": 4, "lora_alpha": 8, "lora_dropout": 0.0},
+        "optimizer": {"init_lr": 1e-3, "scheduler_type": "constant"},
+        "experiment": {"seed": 0, "max_training_steps": 2, "log_steps": 100,
+                       "quantize_base": "w8a8"},
+        "algo": {"beta": 10, "gamma_beta_ratio": 0.5, "loss_type": "sigmoid"},
+    })
+    with pytest.raises(ValueError, match="already int8-quantized"):
+        SimPOTrainer(config, model, proc)
