@@ -334,6 +334,13 @@ def bench_score(preset: str) -> None:
         cfg = janus_lib.JANUS_PRO_1B
     else:
         cfg = janus_lib.tiny_janus_config()
+    # production serving defaults (configs/step4.yaml: quantize int8 +
+    # int8 prefix KV — the measured 3647.7 pairs/h point); a bf16 7B
+    # trunk at the default rows OOMs the 16 GB chip by ~10 GB.  Explicit
+    # OSPO_BENCH_QUANT= (empty) selects bf16, OSPO_BENCH_SCORE_KV=bf16
+    # a full-precision prefix cache.
+    os.environ.setdefault("OSPO_BENCH_QUANT", "int8")
+    os.environ.setdefault("OSPO_BENCH_SCORE_KV", "int8")
     # W8A16 trunk fused into the init program (matmuls consume {"q","s"}
     # dicts transparently); the ViT/aligner stay bf16
     quant_mode = os.environ.get("OSPO_BENCH_QUANT")

@@ -44,10 +44,18 @@ def has_weights(model_path: Optional[str]) -> bool:
     )
 
 
-def build_model(config) -> janus_lib.JanusModel:
+def build_model(config, quantize=False) -> janus_lib.JanusModel:
     """Fail-fast resolution: a set ``model_path`` MUST contain weights (a
     typo'd path must never silently degrade to a random-init model), and
-    random-init runs must opt in with an explicit ``model_preset``."""
+    random-init runs must opt in with an explicit ``model_preset``.
+
+    ``quantize`` (random-init path only) fuses trunk quantization into
+    the init program (``JanusModel.init(quantize=)``): the bf16 stacks
+    never co-reside with their quantized replacements.  The post-build
+    incremental pass peaks at full-bf16-model + one matrix's quantize
+    temps, which the 4-bit modes' extra pack temps push past a 16 GB
+    chip at 7B (observed: the int4g weight gate OOMed where int8/w8a8
+    squeaked by)."""
     model_path = config.get("model_path") if hasattr(config, "get") else None
     if model_path:
         if not has_weights(model_path):
@@ -81,7 +89,7 @@ def build_model(config) -> janus_lib.JanusModel:
     else:
         raise ValueError(f"unknown model_preset {preset!r} "
                          f"(expected tiny | {' | '.join(PRESETS)})")
-    return janus_lib.JanusModel.init(cfg, seed=seed)
+    return janus_lib.JanusModel.init(cfg, seed=seed, quantize=quantize)
 
 
 def _validate_quantize_mode(config) -> str:
@@ -102,7 +110,16 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
     """→ (JanusModel, tokenizer, Processor)."""
     # validate BEFORE the expensive build; the result is reused below
     qmode = _validate_quantize_mode(config)
-    model = build_model(config)
+    want_quant = qmode in ("int8", "w8a8", "int4", "int4g", "int4n")
+    # random-init + quantize + no LoRA merge → fuse quantization into the
+    # init program (values identical to quantize-after-init: same traced
+    # init followed by the same quantize fn, one program)
+    fused_quant = (want_quant and not config.get("model_path")
+                   and not config.get("ckpt_path"))
+    if fused_quant:
+        print(f"# Quantizing language-model weights to {qmode} "
+              "(fused into the init program).")
+    model = build_model(config, quantize=qmode if fused_quant else False)
     model_path = config.get("model_path")
     tokenizer = load_tokenizer(
         model_path if has_weights(model_path) else None,
@@ -125,8 +142,10 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
         model = merge_lora_checkpoint(model, ckpt_path)
 
     # optional weight-only int8 (decode-path HBM relief; generation steps
-    # only — training consumes full-precision weights)
-    if qmode in ("int8", "w8a8", "int4", "int4g", "int4n"):
+    # only — training consumes full-precision weights).  Checkpoint /
+    # LoRA-merged trunks quantize post-build (incrementally); random-init
+    # trunks were already quantized inside the init program above.
+    if want_quant and not fused_quant:
         from ospo_tpu.ops import quant
 
         print(f"# Quantizing language-model weights to {qmode} "

@@ -38,17 +38,20 @@ REPS = 4                    # chained repeats: 120 × 90 MB weight reads
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 
 
-def timeit(name, fn, *args):
+def timeit(name, fn, xs, *args):
+    """Time ``fn(x, *args)`` once per DISTINCT x (identical executions
+    are memoized by the tunneled executor), syncing each iteration with
+    a scalar fetch (block_until_ready alone can return without a round
+    trip) — BENCH_NOTES "Measurement pitfalls"."""
     try:
-        fn_j = jax.jit(fn)
-        out = jax.block_until_ready(fn_j(*args))
+        fn_j = jax.jit(lambda x_, *a: fn(x_, *a).astype(jnp.float32).sum())
+        float(fn_j(xs[0], *args))  # compile + warm
         times = []
-        for _ in range(5):
+        for x_ in xs[1:]:
             t0 = time.time()
-            out = jax.block_until_ready(fn_j(*args))
+            float(fn_j(x_, *args))
             times.append(time.time() - t0)
         dt = min(times)
-        gb = None
         print(f"{name:14s} {dt*1e3:8.2f} ms  ({L} layers, rows={ROWS})")
         return dt
     except Exception as e:
@@ -64,35 +67,39 @@ def main():
     @jax.jit
     def build(key):
         w = (jax.random.normal(key, (L, F, D), jnp.bfloat16) * 0.02)
-        x = jax.random.normal(jax.random.fold_in(key, 1), (ROWS, 1, D),
-                              jnp.bfloat16)
-        return (w, x, quant.quantize_matrix(w), quant.quantize_matrix_int4(w),
+        xs = [jax.random.normal(jax.random.fold_in(key, i), (ROWS, 1, D),
+                                jnp.bfloat16) for i in range(1, 5)]
+        return (w, xs, quant.quantize_matrix(w), quant.quantize_matrix_int4(w),
                 quant.quantize_matrix_int4_group(w))
 
-    w, x, q8, q4, q4g = jax.block_until_ready(build(key))
+    w, xs, q8, q4, q4g = jax.block_until_ready(build(key))
     print("# inputs ready", flush=True)
 
-    def scan_over(f, weights):
+    def scan_over(f, x0, weights):
         # chain the activations through every layer and repeat so no two
         # matmuls share an input (CSE-proof); each step reads one [F, D]
-        # weight slice exactly once
+        # weight slice exactly once.  y is consumed by a FULL-F reduce —
+        # a narrow y[..., :D] slice would let XLA shrink the dot itself
+        # (slice-through-dot narrowing).
         def body(acc, wl):
             y = f(acc, wl)                       # [ROWS, 1, F]
-            return (acc + y[..., :D] * jnp.bfloat16(1e-6)), None
-        acc = x
+            bump = y.astype(jnp.float32).sum(-1, keepdims=True) * 1e-6
+            return (acc + bump.astype(acc.dtype)), None
+        acc = x0
         for _ in range(REPS):
             acc, _ = jax.lax.scan(body, acc, weights)
         return acc
 
-    timeit("bf16", lambda w_: scan_over(
-        lambda x_, wl: jnp.einsum("btd,fd->btf", x_, wl), w_), w)
-    timeit("int8", lambda q_: scan_over(quant.quantized_matmul, q_), q8)
-    timeit("int4 2-plane", lambda q_: scan_over(
-        quant.quantized_matmul_int4, q_), q4)
+    timeit("bf16", lambda x_, w_: scan_over(
+        lambda h, wl: jnp.einsum("btd,fd->btf", h, wl), x_, w_), xs, w)
+    timeit("int8", lambda x_, q_: scan_over(
+        quant.quantized_matmul, x_, q_), xs, q8)
+    timeit("int4 2-plane", lambda x_, q_: scan_over(
+        quant.quantized_matmul_int4, x_, q_), xs, q4)
     # group-wise (g=128) int4: same packed bytes, scales ride INSIDE the
     # contraction — measures what the quality fix costs at decode shapes
-    timeit("int4g g=128", lambda q_: scan_over(
-        quant.quantized_matmul_int4_group, q_), q4g)
+    timeit("int4g g=128", lambda x_, q_: scan_over(
+        quant.quantized_matmul_int4_group, x_, q_), xs, q4g)
 
     # int4 carried across the jit boundary as PACKED int8 bytes, bitcast
     # to s4 inside the program (sidesteps the int4-jit-argument
@@ -117,8 +124,8 @@ def main():
             y = jnp.einsum("btd,fd->btf", x_, w4.astype(x_.dtype))
             return y * sl.astype(x_.dtype)
 
-        timeit("int4 bitcast", lambda q_, s_: scan_over(
-            bitcast_matmul, (q_, s_)), pk, s_pk)
+        timeit("int4 bitcast", lambda x_, q_, s_: scan_over(
+            bitcast_matmul, x_, (q_, s_)), xs, pk, s_pk)
     except Exception as e:
         print(f"int4 bitcast FAILED outside jit: {type(e).__name__}: {e}")
 
@@ -133,8 +140,8 @@ def main():
             y = jnp.einsum("btd,fd->btf", x_, wl.astype(x_.dtype))
             return y * sl.astype(x_.dtype)
 
-        timeit("int4 native s4", lambda q_, s_: scan_over(
-            lambda x_, ws: s4_matmul(x_, ws), (q_, s_)), qs4, s)
+        timeit("int4 native s4", lambda x_, q_, s_: scan_over(
+            s4_matmul, x_, (q_, s_)), xs, qs4, s)
     except Exception as e:
         print(f"int4 native s4 FAILED outside jit: {type(e).__name__}: {e}")
 

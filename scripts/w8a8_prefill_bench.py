@@ -44,17 +44,23 @@ L, F, D = (int(v) for v in
            os.environ.get("OSPO_W8A8_SHAPE", "30,11008,4096").split(","))
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 14
 TOKS = int(sys.argv[2]) if len(sys.argv) > 2 else 704
-TFLOP = 2 * ROWS * TOKS * F * D * L / 1e12
+REPS = int(os.environ.get("OSPO_W8A8_REPS", "4"))
+TFLOP = 2 * ROWS * TOKS * F * D * L * REPS / 1e12
 
 
-def timeit(name, fn, *args):
+def timeit(name, fn, xs, *args):
+    """Time ``fn(x, *args)`` once per DISTINCT x in ``xs`` (identical
+    executions are memoized by the tunneled executor) and sync each
+    iteration by fetching a scalar (block_until_ready alone returns
+    without a round trip on this backend) — BENCH_NOTES "Measurement
+    pitfalls"."""
     try:
-        fn_j = jax.jit(fn)
-        jax.block_until_ready(fn_j(*args))
+        fn_j = jax.jit(lambda x_, *a: fn(x_, *a).astype(jnp.float32).sum())
+        float(fn_j(xs[0], *args))  # compile + warm
         times = []
-        for _ in range(5):
+        for x_ in xs[1:]:
             t0 = time.time()
-            jax.block_until_ready(fn_j(*args))
+            float(fn_j(x_, *args))
             times.append(time.time() - t0)
         dt = min(times)
         print(f"{name:16s} {dt*1e3:8.2f} ms  "
@@ -72,30 +78,36 @@ def main():
     @jax.jit
     def build(key):
         w = jax.random.normal(key, (L, F, D), jnp.bfloat16) * 0.02
-        x = jax.random.normal(jax.random.fold_in(key, 1), (ROWS, TOKS, D),
-                              jnp.bfloat16)
-        return w, x, quant.quantize_matrix(w), quant.quantize_matrix_w8a8(w)
+        xs = [jax.random.normal(jax.random.fold_in(key, i),
+                                (ROWS, TOKS, D), jnp.bfloat16)
+              for i in range(1, 5)]
+        return w, xs, quant.quantize_matrix(w), quant.quantize_matrix_w8a8(w)
 
-    w, x, q8, qa = jax.block_until_ready(build(key))
+    w, xs, q8, qa = jax.block_until_ready(build(key))
     print("# inputs ready", flush=True)
 
     # x rides as a jit ARGUMENT everywhere (an ~80MB closure constant
-    # risks the tunnel's HTTP-413 compile-payload rejection)
+    # risks the tunnel's HTTP-413 compile-payload rejection).  REPS
+    # chains make compute ≫ the ~30 ms tunnel RTT per synced call.
     def scan_over(f, x_, weights):
         # chain activations through every layer so no two matmuls share an
-        # input (CSE-proof); each step reads one [F, D] slice exactly once
+        # input (CSE-proof); each step reads one [F, D] slice exactly once.
+        # y is consumed by a FULL-F reduce — a narrow y[..., :D] slice
+        # would let XLA shrink the dot itself (slice-through-dot).
         def body(acc, wl):
             y = f(acc, wl)                       # [ROWS, TOKS, F]
-            return (acc + y[..., :D] * jnp.bfloat16(1e-6)), None
-        acc, _ = jax.lax.scan(body, x_, weights)
-        return acc
+            bump = y.astype(jnp.float32).sum(-1, keepdims=True) * 1e-6
+            return (acc + bump.astype(acc.dtype)), None
+        for _ in range(REPS):
+            x_, _ = jax.lax.scan(body, x_, weights)
+        return x_
 
     timeit("bf16", lambda x_, w_: scan_over(
-        lambda h, wl: jnp.einsum("btd,fd->btf", h, wl), x_, w_), x, w)
+        lambda h, wl: jnp.einsum("btd,fd->btf", h, wl), x_, w_), xs, w)
     timeit("int8 W (W8A16)", lambda x_, q_: scan_over(
-        quant.quantized_matmul, x_, q_), x, q8)
+        quant.quantized_matmul, x_, q_), xs, q8)
     timeit("w8a8 dynamic", lambda x_, q_: scan_over(
-        quant.quantized_matmul_w8a8, x_, q_), x, qa)
+        quant.quantized_matmul_w8a8, x_, q_), xs, qa)
 
     # dot-only variant: activations quantized ONCE, outside the timed
     # scan — every layer reuses the same xq against its OWN weights
@@ -103,20 +115,24 @@ def main():
     # DCE).  The gap between this and "w8a8 dynamic" above IS the
     # per-layer activation-quantization overhead.
     def dots_only(x_, q_):
-        xq, sx = quant.quantize_activations_int8(x_)
-
-        def body(acc, wl_s):
+        def body(carry, wl_s):
+            acc, xq, sx = carry
             y = jnp.einsum("btd,fd->btf", xq, wl_s["q"],
                            preferred_element_type=jnp.int32)
             y = y.astype(jnp.float32) * sx * wl_s["sa"]
             # full-tensor reduce: a narrow slice here would let XLA shrink
             # the dot itself (slice-through-dot narrowing) and fake the time
-            return acc + y.sum(), None
+            return (acc + y.sum(), xq, sx), None
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), q_)
+        acc = jnp.float32(0.0)
+        for r in range(REPS):
+            # re-quantize a perturbed x per rep so reps can't CSE; the
+            # inner scan still reuses ONE quantized activation per rep
+            xq, sx = quant.quantize_activations_int8(x_ + jnp.bfloat16(r))
+            (acc, _, _), _ = jax.lax.scan(body, (acc, xq, sx), q_)
         return acc
 
-    timeit("w8a8 dot-only", dots_only, x, qa)
+    timeit("w8a8 dot-only", dots_only, xs, qa)
 
 
 if __name__ == "__main__":
