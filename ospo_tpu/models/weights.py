@@ -39,8 +39,100 @@ Array = Any
 
 
 # ---------------------------------------------------------------------------
-# state-dict loading
+# state-dict loading + key-coverage audit
 # ---------------------------------------------------------------------------
+
+
+class _CoverageTracker(Mapping):
+    """Mapping proxy that records which state-dict keys the port READ.
+
+    ``in``-checks do not count as consumption — only ``__getitem__``.
+    Used by :func:`load_janus` to assert 100% key coverage of a
+    checkpoint: every key either consumed by ``port_janus`` or in the
+    explicit skip set, fail loud on any remainder (a silent leftover key
+    means the port is quietly dropping weights — the exact failure mode a
+    real Janus-Pro-7B port must never hit).
+    """
+
+    def __init__(self, sd: Mapping[str, np.ndarray]):
+        self._sd = sd
+        self.consumed: set = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return self._sd[k]
+
+    def __contains__(self, k):
+        return k in self._sd
+
+    def __iter__(self):
+        return iter(self._sd)
+
+    def __len__(self):
+        return len(self._sd)
+
+
+def expected_skipped_keys(sd_keys, cfg: "janus_lib.JanusConfig") -> set:
+    """Checkpoint keys the port INTENTIONALLY leaves unconsumed.
+
+    1. ViT blocks truncated by ``select_layer`` (CLIPVisionTower keeps
+       ``depth`` of ``layers`` blocks; checkpoints carry all of them —
+       janus/models/clip_encoder.py select_layer semantics).
+    2. Known non-parameter HF buffers (older transformers serialized
+       ``rotary_emb.inv_freq`` per layer; recomputed here from
+       ``rope_theta``).
+    3. The torch impl's fused-attn runtime flags hold no tensors, so no
+       other buffer families exist in the Janus state dict
+       (janus/models/modeling_vlm.py:190-264).
+    """
+    skipped = set()
+    for i in range(cfg.vision.depth, cfg.vision.layers):
+        pre = f"vision_model.vision_tower.blocks.{i}."
+        skipped |= {k for k in sd_keys if k.startswith(pre)}
+    skipped |= {k for k in sd_keys if k.endswith("rotary_emb.inv_freq")}
+    return skipped
+
+
+def check_key_coverage(sd_keys, cfg, consumed,
+                       context: str = "checkpoint") -> Dict[str, int]:
+    """Assert every checkpoint key is consumed or explicitly skipped.
+
+    Returns ``{"consumed": n, "skipped": n}`` on success; raises
+    ``ValueError`` naming the leftover keys otherwise.
+    """
+    sd_keys = set(sd_keys)
+    skipped = expected_skipped_keys(sd_keys, cfg)
+    leftover = sorted(sd_keys - set(consumed) - skipped)
+    if leftover:
+        head = "\n  ".join(leftover[:20])
+        more = f"\n  ... and {len(leftover) - 20} more" if len(leftover) > 20 else ""
+        raise ValueError(
+            f"key-coverage audit failed for {context}: {len(leftover)} "
+            f"state-dict key(s) neither consumed by the port nor in the "
+            f"explicit skip set:\n  {head}{more}\n"
+            f"(consumed={len(consumed)}, skipped={len(skipped)}, "
+            f"total={len(sd_keys)}) — extend port_janus or "
+            f"expected_skipped_keys, never drop weights silently")
+    return {"consumed": len(consumed & sd_keys), "skipped": len(skipped)}
+
+
+def audit_full_index(cfg: "janus_lib.JanusConfig") -> Dict[str, int]:
+    """Run the coverage audit against the FULL safetensors index of
+    ``cfg`` (e.g. the real 7B) without materializing 7B of tensors: the
+    key set depends only on cfg structure, so every tensor is shrunk to
+    rank-preserving size ≤2 per dim and the real ``port_janus`` is run
+    over the tracking mapping.  CI-runs in milliseconds at 7B scale
+    (tests/test_weights_coverage.py)."""
+    from ospo_tpu.models.synthetic import janus_key_shapes
+
+    sd = {
+        k: np.zeros(tuple(min(d, 2) for d in shape), np.float32)
+        for k, shape, _ in janus_key_shapes(cfg)
+    }
+    tracker = _CoverageTracker(sd)
+    port_janus(tracker, cfg)
+    return check_key_coverage(sd.keys(), cfg, tracker.consumed,
+                              context="full synthetic index")
 
 
 def load_state_dict(model_path: str) -> Dict[str, np.ndarray]:
@@ -408,7 +500,12 @@ def load_janus(model_path: str,
         print(f"# Loading ported param cache {cache_path}")
         return janus_lib.JanusModel(cfg, _load_param_cache(cache_path))
     sd = load_state_dict(model_path)
-    params = port_janus(sd, cfg)
+    tracker = _CoverageTracker(sd)
+    params = port_janus(tracker, cfg)
+    cov = check_key_coverage(sd.keys(), cfg, tracker.consumed,
+                             context=model_path)
+    print(f"# key coverage: {cov['consumed']} consumed, "
+          f"{cov['skipped']} skipped, 0 dropped")
     if use_cache and jax.process_index() == 0:
         # process 0 only (N processes porting the same checkpoint would
         # interleave writes into one zip)
