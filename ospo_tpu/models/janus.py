@@ -215,17 +215,47 @@ class JanusModel:
                     f"JanusModel.init(quantize={quantize!r}): expected "
                     "True, 'int8', 'w8a8', 'int4', 'int4g' or 'int4n'")
 
-        def build(key):
-            p = init_params(cfg, key)
-            if quantize:
-                from ospo_tpu.ops import quant
+        key = jax.random.PRNGKey(seed)
+        if not quantize:
+            # one fused jit: ~250 small init ops as a single device program
+            # (individual dispatch is pathological on remote backends)
+            return cls(cfg, jax.jit(lambda k: init_params(cfg, k))(key))
 
-                p = {**p, "language_model":
-                     quant.quantize_llama_params(p["language_model"],
-                                                 mode=quantize)}
-            return p
+        # Per-matrix fused generate→quantize programs.  A single program
+        # holding the whole bf16 trunk (13.3 GB at 7B) plus quantize temps
+        # relies on XLA interleaving generation with quantization to fit a
+        # 16 GB chip — int8 fit, int4g's extra group-reshape/pack temps
+        # OOMed (round-4 campaign, outputs-timed/scoring_redo.log.int4g).
+        # Instead each quantizable stacked matrix gets its OWN program that
+        # traces the full ``init_params`` and returns only that matrix
+        # quantized: everything else is dead-code-eliminated, values match
+        # quantize-after-init (int payloads + bf16 leaves bitwise, scales
+        # to 1 ulp of compiler fusion — tests/test_quant.py pins this),
+        # and peak HBM is bounded at quantized-so-far + one bf16 stack
+        # (~2.7 GB at 7B).
+        from ospo_tpu.ops import quant
 
-        return cls(cfg, jax.jit(build)(jax.random.PRNGKey(seed)))
+        qfn = quant.quant_fn(quantize)
+
+        def build_one(k, name):
+            return qfn(init_params(cfg, k)["language_model"]["layers"][name])
+
+        layers_q = {}
+        for name in quant.QUANTIZABLE:
+            layers_q[name] = jax.block_until_ready(
+                jax.jit(build_one, static_argnums=1)(key, name))
+
+        def build_rest(k):
+            p = init_params(cfg, k)
+            lm = dict(p["language_model"])
+            lm["layers"] = {n: v for n, v in lm["layers"].items()
+                            if n not in quant.QUANTIZABLE}
+            return {**p, "language_model": lm}
+
+        params = jax.jit(build_rest)(key)
+        lm = dict(params["language_model"])
+        lm["layers"] = {**lm["layers"], **layers_q}
+        return cls(cfg, {**params, "language_model": lm})
 
     @classmethod
     def from_pretrained(cls, model_path: str,

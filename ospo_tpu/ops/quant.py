@@ -345,6 +345,15 @@ def _assert_s4_supported():
             "(packed, works everywhere).")
 
 
+def quant_fn(mode: str):
+    """The per-matrix quantize fn for ``mode`` (s4 support asserted for
+    int4n) — for callers composing their own quantize programs (the
+    per-matrix fused init in ``JanusModel.init``)."""
+    if mode == "int4n":
+        _assert_s4_supported()
+    return _QUANT_FNS[mode]
+
+
 def quantize_llama_params(params: Dict[str, Any],
                           mode: str = "int8") -> Dict[str, Any]:
     """Quantize the stacked layer projections (embed/norms/lm_head stay

@@ -27,8 +27,10 @@ run_point() {
   echo "POINT $tag rc=$rc $out"
 }
 
-# 0. health check
-timeout 300 python -c "
+# 0. health check (900 s: a degraded tunnel can take minutes to answer a
+# cold jitted compile — observed 2026-08-19 — and the campaign's own
+# per-point timeouts already bound a truly dead tunnel)
+timeout 900 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((128,128), jnp.bfloat16)
 print('health ok', float(jax.jit(lambda a: a@a)(x).sum()))" || {
@@ -57,7 +59,11 @@ fi
 #    campaign; the compare process now quantizes inside the init program)
 if ! grep -q "^POINT int4g_gate_v2 " "$LOG" 2>/dev/null; then
   GLOG="$LOG.int4g" REF=outputs-timed/wgate_ref
-  if [ ! -f "$REF/meta.json" ]; then
+  # guard on ref_logits.npy, not meta.json: the first campaign's export
+  # died between the two saves, leaving a meta.json that skipped the
+  # re-export and a compare that crashed on the missing logits (round-4
+  # int4g_gate_v2 rc=1)
+  if [ ! -f "$REF/ref_logits.npy" ]; then
     timeout 3600 python scripts/validate_weights.py \
       --model_preset 7b --quantize none --phases divergence \
       --export-reference "$REF" --out outputs-timed/wgate_export >> "$GLOG" 2>&1
@@ -91,3 +97,8 @@ run_point image_int4g_b32_v2  OSPO_BENCH_MODE=image OSPO_BENCH_QUANT=int4g \
 run_point score_rows16_preimg1 OSPO_BENCH_MODE=score OSPO_BENCH_SCORE_ROWS=16
 
 echo "campaign complete — results in $LOG"
+
+# 5. round-4 follow-ups: rows=16 won over rows=14 on freed HBM — measure
+#    the w8a8 variant at the new row count too
+run_point score_w8a8_rows16 OSPO_BENCH_MODE=score OSPO_BENCH_QUANT=w8a8 \
+    OSPO_BENCH_SCORE_ROWS=16

@@ -26,7 +26,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_step2_launcher(tmp_path):
+def _run_step2_launcher(tmp_path, nproc: int) -> None:
     cfg = tmp_path / "step2.yaml"
     cfg.write_text(
         "seed_list: [0,1,2]\n"
@@ -50,9 +50,9 @@ def test_two_process_step2_launcher(tmp_path):
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
     proc = subprocess.run(
-        ["bash", LAUNCHER, "2", "ospo_tpu.pipeline.step2",
+        ["bash", LAUNCHER, str(nproc), "ospo_tpu.pipeline.step2",
          "--cfg_path", str(cfg)],
-        env=env, cwd=REPO, capture_output=True, timeout=600,
+        env=env, cwd=REPO, capture_output=True, timeout=900,
     )
     assert proc.returncode == 0, proc.stdout.decode() + proc.stderr.decode()
 
@@ -64,6 +64,19 @@ def test_two_process_step2_launcher(tmp_path):
     for rec in out:
         assert len(rec["negative_prompt"]) == 3
         assert len(rec["long_prompt"]) == 3
+
+
+def test_two_process_step2_launcher(tmp_path):
+    _run_step2_launcher(tmp_path, 2)
+
+
+@pytest.mark.slow
+def test_four_process_step2_launcher(tmp_path):
+    """Pod-slice-shaped launch: 4 coordinated processes (v5e-32 = 4 hosts
+    x 8 chips — here 4 x 1 CPU device) through the SAME launcher +
+    strided-shard + gather-merge path; with 4 items, every rank owns
+    exactly one, so any rank lost in the merge changes the output."""
+    _run_step2_launcher(tmp_path, 4)
 
 
 def test_two_process_step1_launcher(tmp_path):

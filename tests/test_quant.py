@@ -1,6 +1,7 @@
 """Weight-only int8: quantization error bounds and forward equivalence."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -489,3 +490,34 @@ def test_w8a8_ste_gradient_under_jit_scan():
     dx = jax.grad(loss)(x)
     a = np.asarray(dx, np.float32)
     assert np.isfinite(a).all() and np.abs(a).max() > 0
+
+
+@pytest.mark.parametrize("mode", ["int8", "w8a8", "int4", "int4g"])
+def test_fused_init_matches_quantize_after_init(mode):
+    """The per-matrix fused init+quantize programs (bounded-peak path that
+    replaced the single whole-trunk program after the int4g 7B OOM,
+    round-4) must produce the same model as quantize-after-init: int
+    payloads and bf16 leaves bitwise, f32 scales to 1 ulp of compiler
+    fusion."""
+    import jax.tree_util as jtu
+
+    cfg = janus.tiny_janus_config()
+    fused = janus.JanusModel.init(cfg, seed=3, quantize=mode).params
+    plain = janus.JanusModel.init(cfg, seed=3).params
+    ref = quant.quantize_llama_params(plain["language_model"], mode=mode)
+
+    ra = {jtu.keystr(p): v for p, v in jtu.tree_flatten_with_path(ref)[0]}
+    ga = {jtu.keystr(p): v
+          for p, v in jtu.tree_flatten_with_path(
+              fused["language_model"])[0]}
+    assert set(ra) == set(ga)
+    for k in ra:
+        a, b = np.asarray(ra[k]), np.asarray(ga[k])
+        assert a.dtype == b.dtype and a.shape == b.shape, k
+        if a.dtype == np.float32:  # scale leaves ('s'/'sa'/group scales)
+            np.testing.assert_allclose(a, b, rtol=1e-6, err_msg=k)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=k)
+    # non-LM modules come from a separate DCE'd program — still bitwise
+    np.testing.assert_array_equal(np.asarray(fused["gen_embed"]),
+                                  np.asarray(plain["gen_embed"]))
