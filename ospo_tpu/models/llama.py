@@ -174,14 +174,23 @@ def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]]
     stacked A [d_in, r] / B [r, d_out] for the current layer.
     """
     if isinstance(w, dict) and "q4" in w:
-        # weight-only int4: two output rows per byte; one einsum per
-        # nibble plane, rejoined on the feature axis.  {"q4", "s"} is
-        # per-output-row scaled, {"q4", "gs"} group-wise (g=128 along the
-        # input dim — the quality fix; ops/quant.quantize_matrix_int4*)
+        # weight-only int4: {"q4", "s"} is per-output-row scaled,
+        # {"q4", "gs"} group-wise (g=128 along the input dim — the
+        # quality fix).  Decode shapes (T == 1) on TPU take the Pallas
+        # single-stream kernel (ops/int4_matmul.py: packed bytes DMA'd
+        # once, nibble planes unpacked + scaled in VMEM — the XLA
+        # two-plane einsums stream the bytes twice, and the group
+        # formulation's [B, T, F, G] temp OOMed the B=32 decode);
+        # prefill keeps the XLA paths (ops/quant.quantized_matmul_int4*)
+        from ospo_tpu.ops import int4_matmul as _i4k
         from ospo_tpu.ops import quant as _quant
 
-        y = (_quant.quantized_matmul_int4_group(x, w) if "gs" in w
-             else _quant.quantized_matmul_int4(x, w))
+        if (_i4k.supported(x, w) and jax.default_backend() == "tpu"
+                and os.environ.get("OSPO_INT4_KERNEL", "1") != "0"):
+            y = _i4k.int4_matmul_decode(x, w)
+        else:
+            y = (_quant.quantized_matmul_int4_group(x, w) if "gs" in w
+                 else _quant.quantized_matmul_int4(x, w))
     elif isinstance(w, dict) and "sa" in w:
         # W8A8 ({"q", "sa"}): dynamic per-token int8 activations, int8×int8
         # dot with int32 accumulation — the MXU's 2× int8 rate for
