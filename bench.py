@@ -533,39 +533,43 @@ def main() -> None:
         # B=32 (1062.4 tok/s with the qualified int8 KV, BENCH_NOTES)
         default_batches = [32, 28, 24, 20]
     else:
-        # B=20 is the recorded serving default: 923.0 tok/s = 2.066x the
-        # batch-matched reference (the BASELINE.md north star); B=24 is
-        # the absolute int8 peak (993.9 = 1.88x) -- round-3 sweep,
-        # BENCH_NOTES "Serving-point sweep"
-        default_batches = [20, 16, 8, 1] if quantized else [4, 2, 1]
+        # B=24 is the serving default: the absolute int8 peak (993.9
+        # tok/s, 1.88x batch-matched).  The BATCH-MATCHED-ratio peak is
+        # B=20 (923.0 = 2.066x, the BASELINE.md north star form) — it is
+        # measured SECONDARILY below and reported as "ratio_point", so
+        # the headline tracks round wall-clock while the 2x claim stays
+        # auditable (round-4 re-anchoring; VERDICT r3 item 2).
+        default_batches = [24, 20, 16, 8, 1] if quantized else [4, 2, 1]
     batches = [int(batch_env)] if batch_env else default_batches
     prompt = "A" * prompt_len  # byte tokenizer → prompt_len tokens
+
+    def measure(b):
+        """Compile + 3 timed decodes at batch b → (tok/s, step_ms)."""
+        prompts = [prompt] * b
+        t0 = time.time()
+        engine.generate_tokens(prompts, seed=0)  # compile + warmup
+        compile_s = time.time() - t0
+        times = []
+        for it in range(3):
+            t0 = time.time()
+            out = engine.generate_tokens(prompts, seed=it + 1)
+            times.append(time.time() - t0)
+        assert out.shape == (b, n_tokens)
+        dt = min(times)
+        print(
+            f"# preset={preset} batch={b} prompt_len={prompt_len} "
+            f"tokens={n_tokens} compile={compile_s:.1f}s decode={dt:.2f}s",
+            file=sys.stderr,
+        )
+        return b * n_tokens / dt, dt / n_tokens * 1e3
 
     value = None
     used_batch = None
     step_ms = None
     for b in batches:
         try:
-            prompts = [prompt] * b
-            t0 = time.time()
-            engine.generate_tokens(prompts, seed=0)  # compile + warmup
-            compile_s = time.time() - t0
-
-            times = []
-            for it in range(3):
-                t0 = time.time()
-                out = engine.generate_tokens(prompts, seed=it + 1)
-                times.append(time.time() - t0)
-            assert out.shape == (b, n_tokens)
-            dt = min(times)
-            value = b * n_tokens / dt
-            step_ms = dt / n_tokens * 1e3
+            value, step_ms = measure(b)
             used_batch = b
-            print(
-                f"# preset={preset} batch={b} prompt_len={prompt_len} "
-                f"tokens={n_tokens} compile={compile_s:.1f}s decode={dt:.2f}s",
-                file=sys.stderr,
-            )
             break
         except Exception as e:  # OOM → retry smaller batch
             print(f"# batch {b} failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -598,6 +602,27 @@ def main() -> None:
                 * lcfg.kv_heads * lcfg.dim_head * kv_item)
     bw_pct = (wbytes + kv_bytes) / 1e9 / V5E_BW_GBPS / (step_ms / 1e3) * 100
 
+    # secondary batch-matched-RATIO point (B=20): the modeled A100
+    # denominator shrinks faster than the TPU numerator below the
+    # absolute peak, so the best vs_baseline sits at a smaller batch
+    # than the best tok/s.  Measured in the same run so the headline
+    # (absolute, round-wall-clock-anchored) and the 2x claim can never
+    # drift apart silently.  OSPO_BENCH_RATIO_POINT=0 skips it.
+    RATIO_BATCH = 20
+    ratio_point = None
+    if (not batch_env and preset == "7b" and qmode == "int8"
+            and used_batch is not None and used_batch != RATIO_BATCH
+            and os.environ.get("OSPO_BENCH_RATIO_POINT", "1") == "1"):
+        try:
+            rv, _ = measure(RATIO_BATCH)
+            rref = modeled_ref_toks(RATIO_BATCH, prompt_len, n_tokens,
+                                    model.cfg.language)
+            ratio_point = {"batch": RATIO_BATCH, "value": round(rv, 2),
+                           "vs_baseline": round(rv / rref, 3)}
+        except Exception as e:
+            print(f"# ratio point failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     ref_toks = modeled_ref_toks(used_batch, prompt_len, n_tokens, lcfg)
     print(json.dumps({
         "metric": "img-tokens/sec/chip",
@@ -611,6 +636,7 @@ def main() -> None:
         "hbm_bw_pct": round(bw_pct, 1),
         "batch": used_batch,
         "preset": preset,
+        **({"ratio_point": ratio_point} if ratio_point else {}),
         # SJD runs: Jacobi iterations of the last call + accepted
         # tokens/iteration (the speedup driver; ~1.04 on flat random-init
         # logits, probe entropy dependence via OSPO_BENCH_SHARPEN)

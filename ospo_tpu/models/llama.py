@@ -176,17 +176,19 @@ def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]]
     if isinstance(w, dict) and "q4" in w:
         # weight-only int4: {"q4", "s"} is per-output-row scaled,
         # {"q4", "gs"} group-wise (g=128 along the input dim — the
-        # quality fix).  Decode shapes (T == 1) on TPU take the Pallas
-        # single-stream kernel (ops/int4_matmul.py: packed bytes DMA'd
-        # once, nibble planes unpacked + scaled in VMEM — the XLA
-        # two-plane einsums stream the bytes twice, and the group
-        # formulation's [B, T, F, G] temp OOMed the B=32 decode);
-        # prefill keeps the XLA paths (ops/quant.quantized_matmul_int4*)
+        # quality fix).  OSPO_INT4_KERNEL=1 opts decode shapes (T == 1)
+        # on TPU into the Pallas single-stream kernel
+        # (ops/int4_matmul.py).  NOT the default: the chip measured it
+        # at parity on the stacked-matmul microbench (34.6 vs 34.7 ms —
+        # the decode matmul is VPU-unpack-bound, not HBM-bound, at
+        # serving M, so halving the byte stream buys nothing) and 6%
+        # slower on the B=32 serving point (1008.5 vs 1069.6 tok/s;
+        # BENCH_NOTES round-4 "int4 single-stream kernel").
         from ospo_tpu.ops import int4_matmul as _i4k
         from ospo_tpu.ops import quant as _quant
 
         if (_i4k.supported(x, w) and jax.default_backend() == "tpu"
-                and os.environ.get("OSPO_INT4_KERNEL", "1") != "0"):
+                and os.environ.get("OSPO_INT4_KERNEL", "0") == "1"):
             y = _i4k.int4_matmul_decode(x, w)
         else:
             y = (_quant.quantized_matmul_int4_group(x, w) if "gs" in w

@@ -1,6 +1,18 @@
 """Pallas W4A16(-g) decode matmul: stream packed int4 weights ONCE.
 
-Why this exists (measured on a v5e, 7B CFG decode):
+MEASURED OUTCOME (v5e, 2026-08-19 — why this is OPT-IN, not the
+default): the single stream buys nothing.  Stacked-matmul microbench at
+rows=40: pallas 34.6 ms vs XLA two-plane 34.7 (tie), int4g pallas 52.7
+vs XLA 34.3 (loss); B=32 serving point: kernel 1008.5 tok/s vs XLA
+1069.6 (-6%).  The decode matmul is VPU-UNPACK-bound at serving M, not
+HBM-bound — the int32 shift/convert arithmetic per packed byte costs
+more than the DMA it saves, and Mosaic rejects int8-native shifts
+(remote-compile HTTP 500), so the widening round-trip is a floor.  The
+kernel, its tests, and this analysis are kept as the measured record
+(BENCH_NOTES round-4 "int4 single-stream kernel"); enable with
+OSPO_INT4_KERNEL=1.
+
+The original motivation (still true, just not worth it here):
 
 - The XLA two-plane formulation (``ops/quant.quantized_matmul_int4``)
   runs one einsum per nibble plane, and each einsum streams the packed
@@ -51,7 +63,10 @@ _TF2 = 128  # output-halves tile: divides every production F/2 (gcd 128)
 
 def _unpack(q):
     """Packed bytes → (low, high) signed nibble planes (int32 math: the
-    arithmetic-shift sign extension; matches quant.unpack_int4_halves)."""
+    arithmetic-shift sign extension; matches quant.unpack_int4_halves).
+    int8-NATIVE shifts crash the Mosaic compiler on this backend
+    (HTTP 500 from the remote compile helper, 2026-08-19) — the int32
+    widening round-trip is required."""
     q = q.astype(jnp.int32)
     low = jnp.right_shift(jnp.left_shift(q, 28), 28)
     high = jnp.right_shift(jnp.left_shift(q, 24), 28)

@@ -121,9 +121,13 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
               "(fused into the init program).")
     model = build_model(config, quantize=qmode if fused_quant else False)
     model_path = config.get("model_path")
+    # tokenizer_path: an explicit tokenizer.json used WITHOUT checkpoint
+    # weights — random-init runs at real BPE sequence lengths (the local
+    # BPE from scripts/train_bpe.py; ids stay < every preset's vocab)
+    tok_src = config.get("tokenizer_path") or (
+        model_path if has_weights(model_path) else None)
     tokenizer = load_tokenizer(
-        model_path if has_weights(model_path) else None,
-        vocab_size=model.cfg.language.vocab_size,
+        tok_src, vocab_size=model.cfg.language.vocab_size,
     )
     image_size = model.cfg.vision.image_size
     image_processor = load_image_processor(model_path, image_size=image_size)

@@ -101,6 +101,16 @@ def main():
     timeit("int4g g=128", lambda x_, q_: scan_over(
         quant.quantized_matmul_int4_group, x_, q_), xs, q4g)
 
+    # Pallas single-stream kernel (ops/int4_matmul.py): packed bytes
+    # DMA'd once per step, planes unpacked (+ group-scaled) in VMEM —
+    # the true 0.5 byte/weight stream both XLA formulations miss
+    from ospo_tpu.ops import int4_matmul as i4k
+
+    timeit("int4 pallas", lambda x_, q_: scan_over(
+        i4k.int4_matmul_decode, x_, q_), xs, q4)
+    timeit("int4g pallas", lambda x_, q_: scan_over(
+        i4k.int4_matmul_decode, x_, q_), xs, q4g)
+
     # int4 carried across the jit boundary as PACKED int8 bytes, bitcast
     # to s4 inside the program (sidesteps the int4-jit-argument
     # RecursionError while keeping the 0.5 byte/weight stream)
