@@ -43,9 +43,9 @@ FIXTURES = os.path.join(REPO, "tests", "fixtures", "examples")
 # BENCH_NOTES budget model (measured per-chip rates, round 2) — the
 # comparison column in ROUND_r03.json
 BUDGET = {
-    "step2_tok_s": 2271.1,
-    "step3_imgtok_s": 923.0,   # serving default B=20 (round 3)
-    "step4b_pairs_h": 3215.4,  # cross-item batched (round 3)
+    "step2_tok_s": 2499.3,     # shared-prefix p768 t48 B=64 (round 3 sweep)
+    "step3_imgtok_s": 990.2,   # serving default B=24 (round 4 re-anchor)
+    "step4b_pairs_h": 3577.3,  # rows=16 pre-image shared segment (round 4)
     "step5_samples_s": 2.04,
 }
 
@@ -87,7 +87,7 @@ def main() -> None:
     parser.add_argument("--out", default="outputs-timed")
     parser.add_argument("--preset", default="7b")
     parser.add_argument("--stages", default="1,2,3,4,5")
-    parser.add_argument("--report", default="ROUND_r03.json")
+    parser.add_argument("--report", default="ROUND_r04.json")
     args = parser.parse_args()
     stages = set(args.stages.split(","))
     n = args.items
@@ -97,8 +97,18 @@ def main() -> None:
     report = {"items": n, "preset": args.preset, "stages": {},
               "budget_model": BUDGET}
 
+    # local BPE (scripts/train_bpe.py): random-init presets otherwise
+    # byte-tokenize, inflating every prompt ~4x vs production BPE and
+    # turning text-stage timings into extrapolations (round-3 caveat).
+    # ~4.2 chars/token puts step-2 few-shots at their real ~600-900
+    # token lengths, measured, with no char-truncation compensation.
+    bpe = os.path.join(out, "local_bpe", "tokenizer.json")
+    if not os.path.isfile(bpe):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "scripts", "train_bpe.py"), bpe],
+                       cwd=REPO, check=True, timeout=1200)
     base_model = {"model_path": None, "model_preset": args.preset,
-                  "ckpt_path": None}
+                  "ckpt_path": None, "tokenizer_path": bpe}
 
     # ---- stage inputs from cycled fixtures ----
     with open(os.path.join(FIXTURES, "step1", "base_prompt.json")) as f:
@@ -107,15 +117,9 @@ def main() -> None:
         json.dump(base_prompt, f)
     with open(os.path.join(FIXTURES, "step2", "long_prompt.json")) as f:
         long_prompt = cycle_items(json.load(f), n)
-    # the random-init presets fall back to the BYTE tokenizer, which
-    # inflates these dense prompts ~4x vs the production BPE vocab (a
-    # ~100-token prompt becomes 400+ byte tokens and shifts every KV
-    # budget).  Truncate to ~96 chars so the BYTE-token count matches the
-    # BPE-token count a real checkpoint would see — the timing then
-    # reflects production sequence shapes.
-    for rec in long_prompt:
-        for key in ("long_prompt", "negative_long_prompt"):
-            rec[key] = [p[:96] if p else p for p in rec.get(key, [])]
+    # prompts go in UNTRUNCATED: the local BPE tokenizes them at
+    # production-shaped lengths (the round-3 96-char byte-token
+    # compensation is gone)
     with open(os.path.join(out, "long_prompt.json"), "w") as f:
         json.dump(long_prompt, f)
     with open(os.path.join(FIXTURES, "step4", "vqa_prompt.json")) as f:
@@ -127,9 +131,12 @@ def main() -> None:
         report["stages"]["step1"] = run_stage(
             "step1", "ospo_tpu.pipeline.step1", {
                 **base_model, "seed": 42, "category": "object",
-                # B=16: few-shot prompts are ~4x longer in BYTE tokens
-                # than production BPE (B=64 is the BPE-length optimum)
-                "max_len": 8, "batch_size": 16, "quantize": "int8",
+                # B=64: the shared-prefix serving point at BPE lengths
+                # (stage-shape campaign, outputs-timed/stage_shapes.log)
+                "max_len": 8,
+                "batch_size": int(os.environ.get(
+                    "OSPO_TIMED_STEP1_BATCH", "64")),
+                "quantize": "int8",
                 "kv_quant": "int8",
                 "save_path": os.path.join(out, "step1"),
                 "generation_config": {"do_sample": True, "temperature": 1.3,
@@ -139,13 +146,11 @@ def main() -> None:
     # ---- step 2: negatives + densification over n items ----
     if "2" in stages:
         r = run_stage("step2", "ospo_tpu.pipeline.step2", {
-            # byte few-shots are 2300-3400 tokens (4x production BPE);
-            # B=2 kept the worst dense-prompt bucket inside 16GB before
-            # shared-prefix decode — with the template KV stored once,
-            # per-row cache is tail+512 rows only; override upward via
-            # OSPO_TIMED_STEP2_BATCH when re-measuring on the chip
+            # B=64 at real BPE lengths: the template KV is stored once
+            # by the shared-prefix engine, so per-row cache is tail+512
+            # rows only (p1200 t48 point, outputs-timed/stage_shapes.log)
             **base_model, "seed_list": [0, 1, 2],
-            "batch_size": int(os.environ.get("OSPO_TIMED_STEP2_BATCH", "2")),
+            "batch_size": int(os.environ.get("OSPO_TIMED_STEP2_BATCH", "64")),
             "quantize": "int8", "kv_quant": "int8",
             "data_path": os.path.join(out, "base_prompt.json"),
             "save_path": os.path.join(out, "step2"),
@@ -160,7 +165,7 @@ def main() -> None:
     # ---- step 3: CFG image generation over n items (6 images each) ----
     if "3" in stages:
         r = run_stage("step3", "ospo_tpu.pipeline.step3", {
-            **base_model, "seed_list": [0, 1, 2], "batch_size": 20,
+            **base_model, "seed_list": [0, 1, 2], "batch_size": 24,
             "data_path": os.path.join(out, "long_prompt.json"),
             "save_path": os.path.join(out, "step3"),
             "generation_config": {"parallel_size": 1, "temperature": 1.0,
@@ -185,8 +190,10 @@ def main() -> None:
     # ---- step 4a: question generation (empty image dir → 4b no-op) ----
     if "4" in stages:
         r = run_stage("step4a", "ospo_tpu.pipeline.step4", {
-            **base_model, "seed": 42, "batch_size": 4,
-            "kv_quant": "int8",
+            **base_model, "seed": 42,
+            "batch_size": int(os.environ.get(
+                "OSPO_TIMED_STEP4A_BATCH", "64")),
+            "kv_quant": "int8", "shared_prefix": True,
             "data_path": os.path.join(out, "long_prompt.json"),
             "image_path": os.path.join(out, "empty"),
             "save_path": os.path.join(out, "step4a"),
@@ -210,7 +217,7 @@ def main() -> None:
             json.dump(vqa, f)
         r = run_stage("step4b", "ospo_tpu.pipeline.step4", {
             **base_model, "seed": 42, "batch_size": 16,
-            "score_rows": 12, "score_kv_quant": True,
+            "score_rows": 16, "score_kv_quant": True,
             "image_path": os.path.join(out, "step3"),
             "save_path": os.path.join(out, "step4"),
             "quantize": "int8",
@@ -239,8 +246,7 @@ def main() -> None:
                 train.append({
                     "item_id": rec["item_id"], "category": rec["category"],
                     "sub_category": rec["sub_category"],
-                    # byte-tokenizer compensation (see long_prompt above)
-                    "question": [], "prompt": rec["prompt"][:96],
+                    "question": [], "prompt": rec["prompt"],
                     "chosen": b, "rejected": ng, "metadata": {},
                 })
         with open(os.path.join(out, "train.json"), "w") as f:
