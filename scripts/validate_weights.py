@@ -311,6 +311,104 @@ def phase_divergence(model, processor, n_tokens: int, batch: int,
     return report
 
 
+def phase_scoring(model, processor, export_reference: str = None,
+                  compare_reference: str = None,
+                  quantize_label: str = "int8", n_items: int = 4) -> dict:
+    """Scoring-WORKLOAD quality gate: does serving quantization change the
+    yes/no readouts — and, decisively, WHICH preference pairs step 4b
+    selects?  The generation gate (phase_divergence) measures 576-step
+    image-token logit divergence; scoring is a different numerical
+    regime (one 2-way readout after a short suffix) and its only
+    consumer is the pair decision (``compute_preference_strength`` over
+    local/global score gaps).  A mode disqualified for generation can
+    still be fit for scoring (or vice versa) — this measures that
+    directly.  Two-process like the weight gate: ``--export-reference``
+    from a ``--quantize none`` process, then ``--compare-reference``
+    from the quantized one.  Reference workload: ospo/wrapper/vqa.py:112-318.
+    """
+    import numpy as np
+    from PIL import Image
+
+    from ospo_tpu.engine.scoring import (ScoringEngine,
+                                         compute_preference_strength)
+
+    cfg = model.cfg
+    side = cfg.vision.image_size
+    rng = np.random.default_rng(7)
+    qsets = [
+        ["Is there a black umbrella?", "Is the umbrella open?",
+         "Does this image accurately represent the prompt?"],
+        ["Is there a red car?", "Is it parked?", "Is it daytime?",
+         "Does this image accurately represent the prompt?"],
+        ["Is there a dog?",
+         "Does this image accurately represent the prompt?"],
+    ]
+    items = []
+    for it in range(n_items):
+        imgs = [Image.fromarray(
+            (rng.random((side, side, 3)) * 255).astype(np.uint8))
+            for _ in range(6)]  # base_0..2 + negative_0..2
+        items.append((imgs, qsets[it % len(qsets)]))
+
+    engine = ScoringEngine(model, processor,
+                           kv_quant=quantize_label not in ("none", ""))
+    flat_imgs = [im for imgs, _ in items for im in imgs]
+    flat_qs = [qs for imgs, qs in items for _ in imgs]
+    scores = engine.score_images_multi(flat_imgs, flat_qs)
+
+    p_yes, p_no = [], []
+    chosen = []
+    for it in range(n_items):
+        res = scores[it * 6:(it + 1) * 6]
+        for r in res:
+            for a in r["answer_metadata"]:
+                p_yes.append(a["p_yes"])
+                p_no.append(a["p_no"])
+        base_d = {f"base_{i}": {**res[i], "path": f"b{it}_{i}"}
+                  for i in range(3)}
+        neg_d = {f"negative_{i}": {**res[3 + i], "path": f"n{it}_{i}"}
+                 for i in range(3)}
+        sel = compute_preference_strength(base_d, neg_d)
+        chosen.append(-1 if sel is None else int(sel[0][1:].split("_")[1]))
+    p_yes = np.asarray(p_yes, np.float32)
+    p_no = np.asarray(p_no, np.float32)
+    chosen = np.asarray(chosen, np.int32)
+
+    report = {"n_items": n_items, "n_readouts": int(p_yes.size)}
+    if export_reference:
+        os.makedirs(export_reference, exist_ok=True)
+        np.savez(os.path.join(export_reference, "scoring_ref.npz"),
+                 p_yes=p_yes, p_no=p_no, chosen=chosen,
+                 fingerprint=np.asarray(_weight_fingerprint(model),
+                                        np.float64))
+        print(f"# scoring reference exported → {export_reference}",
+              flush=True)
+        report["exported"] = export_reference
+        return report
+    if compare_reference:
+        ref = np.load(os.path.join(compare_reference, "scoring_ref.npz"))
+        fp = np.asarray(_weight_fingerprint(model), np.float64)
+        if not np.allclose(ref["fingerprint"], fp, atol=1e-4):
+            raise SystemExit(
+                f"weight fingerprint mismatch: this process loaded "
+                f"{fp.tolist()} but {compare_reference} was exported "
+                f"from {ref['fingerprint'].tolist()}")
+        d = np.abs(p_yes - ref["p_yes"])
+        ans = np.sign(p_yes - p_no)
+        ref_ans = np.sign(ref["p_yes"] - ref["p_no"])
+        key = f"scoring_{quantize_label}_vs_bf16"
+        report[key] = {
+            "mean_abs_dp_yes": float(d.mean()),
+            "max_abs_dp_yes": float(d.max()),
+            "answer_agree": float((ans == ref_ans).mean()),
+            "pair_agree": float((chosen == ref["chosen"]).mean()),
+        }
+        print(f"# {key}: mean|Δp_yes|={d.mean():.5f} "
+              f"max={d.max():.5f} answers={report[key]['answer_agree']:.3f} "
+              f"pairs={report[key]['pair_agree']:.3f}", flush=True)
+    return report
+
+
 def phase_samples(model, processor, out_dir: str, n_samples: int = 3) -> dict:
     import numpy as np
     from PIL import Image
@@ -385,7 +483,7 @@ def main(argv=None) -> dict:
 
     t0 = time.time()
     phases = [p.strip() for p in args.phases.split(",") if p.strip()]
-    known_phases = {"port", "modules", "divergence", "samples"}
+    known_phases = {"port", "modules", "divergence", "samples", "scoring"}
     unknown = [p for p in phases if p not in known_phases]
     if unknown:
         # a typo'd phase must not silently drop a validation gate (a
@@ -417,6 +515,13 @@ def main(argv=None) -> dict:
             export_reference=args.export_reference,
             compare_reference=args.compare_reference,
             quantize_label=args.quantize)
+    if "scoring" in phases:
+        report["scoring"] = phase_scoring(
+            model, processor,
+            export_reference=args.export_reference,
+            compare_reference=args.compare_reference,
+            quantize_label=(args.quantize if args.quantize != "none"
+                            else "bf16"))
     if "samples" in phases:
         report["samples"] = phase_samples(model, processor, args.out)
         print(f"# samples: ok={report['samples']['ok']}", flush=True)

@@ -103,3 +103,35 @@ def test_two_process_weight_gate(tmp_path):
     w = rep["divergence"]["w_int4_vs_none"]
     assert w["kl_mean"] >= 0.0 and 0.0 <= w["top1_agree"] <= 1.0
     assert len(w["by_quarter"]) == 4
+
+
+def test_two_process_scoring_gate(tmp_path):
+    """--phases scoring: the scoring-WORKLOAD gate (yes/no readout
+    divergence + pair-selection agreement) split across two loads.
+    Self-comparison of the same bf16 weights must be exact — readouts
+    identical and every pair decision reproduced."""
+    import validate_weights
+
+    cfg = janus_lib.tiny_janus_config()
+    ckpt = synthetic.write_synthetic_checkpoint(str(tmp_path / "ckpt"), cfg)
+    ref = str(tmp_path / "ref")
+    common = ["--model_path", ckpt, "--phases", "scoring"]
+    rep = validate_weights.main(
+        common + ["--out", str(tmp_path / "v0"), "--quantize", "none",
+                  "--export-reference", ref])
+    assert rep["scoring"]["exported"] == ref
+    assert os.path.exists(os.path.join(ref, "scoring_ref.npz"))
+
+    rep = validate_weights.main(
+        common + ["--out", str(tmp_path / "v1"), "--quantize", "none",
+                  "--compare-reference", ref])
+    m = rep["scoring"]["scoring_bf16_vs_bf16"]
+    assert m["max_abs_dp_yes"] < 1e-6
+    assert m["answer_agree"] == 1.0 and m["pair_agree"] == 1.0
+
+    rep = validate_weights.main(
+        common + ["--out", str(tmp_path / "v2"), "--quantize", "int8",
+                  "--compare-reference", ref])
+    m = rep["scoring"]["scoring_int8_vs_bf16"]
+    assert m["mean_abs_dp_yes"] >= 0.0
+    assert 0.0 <= m["pair_agree"] <= 1.0
