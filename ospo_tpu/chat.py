@@ -93,10 +93,48 @@ def _render_plain(messages, system_prompt):
     return "".join(m for _, m in messages if m)
 
 
+def _render_alignment(messages, system_prompt):
+    # ALIGNMENT style (janus/utils/conversation.py:124-137): even turns
+    # are replaced by a literal image marker, odd turns keep their text;
+    # sep/sep2 are "" for the registered "alignment" template
+    return "".join("<image>\n" if i % 2 == 0 else m
+                   for i, (_, m) in enumerate(messages) if m)
+
+
+def _render_llava_llama2(messages, system_prompt):
+    # llama-2 rendering with the llava default system message when the
+    # caller passes none (janus/utils/conversation.py:241-256)
+    return _render_llama2(messages, system_prompt or DEFAULT_SYSTEM_PROMPT)
+
+
 TEMPLATE_REGISTRY = {
     "deepseek": _render_deepseek,
+    # same DeepSeek separator algebra, bare "User"/"Assistant" roles in
+    # the canonical role set (roles always come from the messages here)
+    "deepseek_old": _render_deepseek,
     "llama-2": _render_llama2,
+    "llava_llama2": _render_llava_llama2,
     "plain": _render_plain,
+    "alignment": _render_alignment,
+}
+
+# per-template chat surface the reference's Conversation objects carry
+# (canonical roles + decode stop strings) — janus/utils/conversation.py:
+# 241-345.  OSPO only consumes "deepseek"; the rest complete the model
+# family's registry for reference users.
+TEMPLATE_INFO = {
+    "deepseek": {"roles": (USER_ROLE, ASSISTANT_ROLE), "sep": "\n\n",
+                 "sep2": EOS_TAG, "stop_str": ["<|User|>", EOS_TAG]},
+    "deepseek_old": {"roles": ("User", "Assistant"), "sep": "\n\n",
+                     "sep2": EOS_TAG, "stop_str": ["User:", EOS_TAG]},
+    "llama-2": {"roles": ("[INST]", "[/INST]"), "sep": " ",
+                "sep2": " </s><s>", "stop_str": ["[INST]"]},
+    "llava_llama2": {"roles": ("[INST]", "[/INST]"), "sep": " ",
+                     "sep2": " </s><s>", "stop_str": ["[INST]"]},
+    "plain": {"roles": ("", ""), "sep": "", "sep2": "",
+              "stop_str": ["</s>"]},
+    "alignment": {"roles": ("", ""), "sep": "", "sep2": "",
+                  "stop_str": ["</s>"]},
 }
 
 
