@@ -168,9 +168,12 @@ def build_config(
     if cfg_path is None:
         raise ValueError("No cfg_path given.")
     cfg = load_yaml(cfg_path)
-    # A config may point at another config file to merge on top of itself.
+    # A config may point at a BASE config via its own ``cfg_path`` key:
+    # the base loads first and the pointing file's keys override it —
+    # small specializations (configs/quota_1h.yaml) extend a full stage
+    # config without duplicating it.
     if cfg.get("cfg_path"):
-        cfg = _deep_merge(cfg, load_yaml(cfg["cfg_path"]))
+        cfg = _deep_merge(load_yaml(cfg["cfg_path"]), cfg)
     if overrides:
         cfg = _deep_merge(cfg, from_cli(list(overrides)))
     if use_cli:

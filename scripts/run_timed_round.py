@@ -146,11 +146,11 @@ def main() -> None:
     # ---- step 2: negatives + densification over n items ----
     if "2" in stages:
         r = run_stage("step2", "ospo_tpu.pipeline.step2", {
-            # B=64 at real BPE lengths: the template KV is stored once
-            # by the shared-prefix engine, so per-row cache is tail+512
-            # rows only (p1200 t48 point, outputs-timed/stage_shapes.log)
+            # B=32 at real BPE lengths: the measured p1200 t48 point
+            # (1378 tok/s, outputs-timed/stage_shapes.log; B=48/64 crash
+            # the tunneled remote-compile helper at this shape)
             **base_model, "seed_list": [0, 1, 2],
-            "batch_size": int(os.environ.get("OSPO_TIMED_STEP2_BATCH", "64")),
+            "batch_size": int(os.environ.get("OSPO_TIMED_STEP2_BATCH", "32")),
             "quantize": "int8", "kv_quant": "int8",
             "data_path": os.path.join(out, "base_prompt.json"),
             "save_path": os.path.join(out, "step2"),

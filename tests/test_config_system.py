@@ -83,3 +83,23 @@ def test_build_config_roundtrip(tmp_path):
     assert isinstance(cfg, Config)
     assert cfg.a.b == 7 and cfg.out == "/x/y"
     assert cfg.missing_key is None  # absent keys read as null
+
+
+def test_cfg_path_base_merge(tmp_path):
+    """A config may extend a BASE via its own ``cfg_path`` key: the base
+    loads first, the pointing file's keys win (configs/quota_1h.yaml
+    pattern)."""
+    import yaml
+
+    from ospo_tpu.config import build_config
+
+    base = tmp_path / "base.yaml"
+    base.write_text(yaml.safe_dump(
+        {"batch_size": 64, "quota": {"a": 100, "b": 200}, "seed": 1}))
+    spec = tmp_path / "spec.yaml"
+    spec.write_text(yaml.safe_dump(
+        {"cfg_path": str(base), "quota": {"a": 10, "b": 20}}))
+    c = build_config(str(spec), use_cli=False)
+    assert c.batch_size == 64          # inherited from the base
+    assert dict(c.quota) == {"a": 10, "b": 20}  # specialization wins
+    assert c.seed == 1
