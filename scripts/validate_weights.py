@@ -325,6 +325,17 @@ def phase_scoring(model, processor, export_reference: str = None,
     directly.  Two-process like the weight gate: ``--export-reference``
     from a ``--quantize none`` process, then ``--compare-reference``
     from the quantized one.  Reference workload: ospo/wrapper/vqa.py:112-318.
+
+    Program shapes are asymmetric by necessity: the quantized process
+    scores one ITEM (6 images) per call on the production shared-prefix
+    path (int8 prefix KV and all), while the bf16 reference scores one
+    IMAGE per call on the cache-free fallback path — a 14 GB bf16 trunk
+    cannot hold even a 6-row shared cache on a 15.75 GB chip, and the
+    24-image shared program crashes the remote compile helper outright
+    (HTTP 500, not RESOURCE_EXHAUSTED, so the OOM fallback never fires).
+    The two paths are exact-parity tested against each other
+    (tests/test_scoring.py), so the comparison still isolates
+    quantization: weights + activations + prefix-KV vs pure bf16.
     """
     import numpy as np
     from PIL import Image
@@ -350,11 +361,20 @@ def phase_scoring(model, processor, export_reference: str = None,
             for _ in range(6)]  # base_0..2 + negative_0..2
         items.append((imgs, qsets[it % len(qsets)]))
 
-    engine = ScoringEngine(model, processor,
-                           kv_quant=quantize_label not in ("none", ""))
-    flat_imgs = [im for imgs, _ in items for im in imgs]
-    flat_qs = [qs for imgs, qs in items for _ in imgs]
-    scores = engine.score_images_multi(flat_imgs, flat_qs)
+    quantized = quantize_label not in ("none", "")
+    engine = ScoringEngine(model, processor, kv_quant=quantized)
+    scores = []
+    if quantized:
+        # production path: per-item shared-prefix call (6 images ≈ the
+        # rows the serving default uses; int8 prefix KV included)
+        for imgs, qs in items:
+            scores.extend(engine.score_images_multi(imgs, [qs] * len(imgs)))
+    else:
+        # bf16 reference: per-image cache-free fallback (see docstring)
+        for imgs, qs in items:
+            for im in imgs:
+                scores.extend(engine.score_images_multi(
+                    [im], [qs], share_prefix=False))
 
     p_yes, p_no = [], []
     chosen = []
