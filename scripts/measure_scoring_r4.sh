@@ -66,4 +66,14 @@ run_point score_w8a8_rows14_uniform OSPO_BENCH_MODE=score \
 run_point score_rows18 OSPO_BENCH_MODE=score OSPO_BENCH_SCORE_ROWS=18
 run_point score_rows20 OSPO_BENCH_MODE=score OSPO_BENCH_SCORE_ROWS=20
 
+# 4. complete the Q-uniform (production-shape) quantize × rows grid; the
+#    first w8a8 rows14 uniform point (3553.5) contradicts the mixed-Q
+#    ordering (uniform does strictly less suffix work) — re-measure it
+run_point score_rows14_uniform OSPO_BENCH_MODE=score \
+    OSPO_BENCH_SCORE_ROWS=14 OSPO_BENCH_SCORE_UNIFORM=1
+run_point score_w8a8_rows16_uniform OSPO_BENCH_MODE=score \
+    OSPO_BENCH_QUANT=w8a8 OSPO_BENCH_SCORE_ROWS=16 OSPO_BENCH_SCORE_UNIFORM=1
+run_point score_w8a8_rows14_uniform_v2 OSPO_BENCH_MODE=score \
+    OSPO_BENCH_QUANT=w8a8 OSPO_BENCH_SCORE_ROWS=14 OSPO_BENCH_SCORE_UNIFORM=1
+
 echo "scoring r4 campaign complete — results in $LOG"

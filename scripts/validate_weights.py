@@ -361,7 +361,9 @@ def phase_scoring(model, processor, export_reference: str = None,
             for _ in range(6)]  # base_0..2 + negative_0..2
         items.append((imgs, qsets[it % len(qsets)]))
 
-    quantized = quantize_label not in ("none", "")
+    # main() maps --quantize none → label "bf16" (the report-key name);
+    # treat every full-precision spelling as the reference process
+    quantized = quantize_label not in ("none", "", "bf16")
     engine = ScoringEngine(model, processor, kv_quant=quantized)
     scores = []
     if quantized:

@@ -116,9 +116,26 @@ def test_two_process_scoring_gate(tmp_path):
     ckpt = synthetic.write_synthetic_checkpoint(str(tmp_path / "ckpt"), cfg)
     ref = str(tmp_path / "ref")
     common = ["--model_path", ckpt, "--phases", "scoring"]
-    rep = validate_weights.main(
-        common + ["--out", str(tmp_path / "v0"), "--quantize", "none",
-                  "--export-reference", ref])
+    # the bf16 reference process must NEVER touch the shared-prefix
+    # program: on the chip a 14 GB bf16 trunk cannot hold a shared cache
+    # (the first 7B gate attempt crashed the remote compile helper there
+    # — main() maps --quantize none to the label "bf16", which an early
+    # fix misclassified as quantized).  Poisoning the shared path pins
+    # the branch choice, not just the numbers.
+    from ospo_tpu.engine.scoring import ScoringEngine
+
+    def _boom(self, *a, **k):
+        raise AssertionError(
+            "bf16 reference process entered the shared-prefix path")
+
+    orig = ScoringEngine._execute_shared_multi
+    ScoringEngine._execute_shared_multi = _boom
+    try:
+        rep = validate_weights.main(
+            common + ["--out", str(tmp_path / "v0"), "--quantize", "none",
+                      "--export-reference", ref])
+    finally:
+        ScoringEngine._execute_shared_multi = orig
     assert rep["scoring"]["exported"] == ref
     assert os.path.exists(os.path.join(ref, "scoring_ref.npz"))
 
