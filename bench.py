@@ -335,8 +335,8 @@ def bench_score(preset: str) -> None:
     else:
         cfg = janus_lib.tiny_janus_config()
     # production serving defaults (configs/step4.yaml: quantize int8 +
-    # int8 prefix KV — the measured 3647.7 pairs/h point); a bf16 7B
-    # trunk at the default rows OOMs the 16 GB chip by ~10 GB.  Explicit
+    # int8 prefix KV — the measured 3853.5 pairs/h rows=16 point); a bf16
+    # 7B trunk at the default rows OOMs the 16 GB chip by ~10 GB.  Explicit
     # OSPO_BENCH_QUANT= (empty) selects bf16, OSPO_BENCH_SCORE_KV=bf16
     # a full-precision prefix cache.
     os.environ.setdefault("OSPO_BENCH_QUANT", "int8")
@@ -370,7 +370,7 @@ def bench_score(preset: str) -> None:
         ["Is there a dog?",
          "Does this image accurately represent the prompt?"],
     ]
-    group = int(os.environ.get("OSPO_BENCH_SCORE_ROWS", "14"))
+    group = int(os.environ.get("OSPO_BENCH_SCORE_ROWS", "16"))
 
     def img(i):
         return Image.fromarray(
