@@ -285,16 +285,22 @@ class ScoringEngine:
                 import sys
                 import traceback
 
-                # only genuine allocator OOMs fall back (RESOURCE_EXHAUSTED
-                # is the XLA allocator's status code); any other runtime
-                # error — even one that *mentions* memory — stays loud
-                if "RESOURCE_EXHAUSTED" not in str(e):
+                from ospo_tpu.engine.text_engine import _compile_helper_crash
+
+                # two fallback-worthy failure classes, both shape-caused:
+                # genuine allocator OOMs (RESOURCE_EXHAUSTED — the XLA
+                # allocator's status code) and the tunneled remote-compile
+                # helper's deterministic per-shape crash (HTTP 500 — it
+                # killed the first 7B scoring-gate attempt at 24 shared
+                # images).  Any other runtime error stays loud.
+                if ("RESOURCE_EXHAUSTED" not in str(e)
+                        and not _compile_helper_crash(e)):
                     raise
                 traceback.print_exc(file=sys.stderr)
-                print("# scoring: shared-prefix path OOMed — falling back "
-                      "to the single-forward path (a bf16 7B trunk + "
-                      "prefix cache + XLA's cache layout copies exceed a "
-                      "16 GB chip; int8 weights fit)", file=sys.stderr)
+                print("# scoring: shared-prefix path failed on a shape "
+                      "limit (OOM or remote-compile-helper crash) — "
+                      "falling back to the single-forward path",
+                      file=sys.stderr)
                 self._shared_oom = True  # sticky: don't retry every item
         # batched fallback: pack whole images into ≤32-row forwards (one
         # row per (image, question)).  The fallback serves bf16 trunks on

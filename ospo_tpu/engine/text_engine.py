@@ -40,6 +40,17 @@ def _bucket(n: int, step: int = 64) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+def _compile_helper_crash(e: Exception) -> bool:
+    """True for the tunneled remote-compile service's per-shape crash
+    (HTTP 500 / helper subprocess death).  Deliberately NARROW: OOMs
+    (RESOURCE_EXHAUSTED) and every other runtime error stay loud —
+    splitting a batch can only fix a compiler-service defect, and
+    masking anything else would hide real bugs behind silent retries."""
+    s = str(e)
+    return ("remote_compile" in s and "HTTP 500" in s
+            and "RESOURCE_EXHAUSTED" not in s)
+
+
 class TextGenEngine:
     # prompts whose common token prefix is shorter than this run the plain
     # path — below it the shared-prefix program's extra B=1 prefill pass
@@ -86,6 +97,13 @@ class TextGenEngine:
             import os
             shared_prefix = os.environ.get("OSPO_SHARED_PREFIX", "1") != "0"
         self.shared_prefix = bool(shared_prefix)
+        # signatures whose compile deterministically crashes the tunneled
+        # remote-compile helper (HTTP 500 — a per-shape backend bug, NOT
+        # an OOM; e.g. step-2b's (shared, 32, 128, 1536) dense-phase
+        # shape).  Dispatch splits such batches in half and retries —
+        # the halves' smaller programs compile — instead of killing a
+        # multi-hour pipeline stage on a compiler-service defect.
+        self._poisoned_sigs: set = set()
 
     @classmethod
     def from_generation_config(cls, model, processor, gen_cfg,
@@ -357,12 +375,29 @@ class TextGenEngine:
                 top_p=self.top_p,
             ).compile()
 
+        def compile_guarded(sig):
+            # a helper-crash signature must not kill the pipeline stage
+            # during warmup: record it so dispatch pre-splits, and let the
+            # halves compile lazily (their buckets depend on the actual
+            # prompt split, unknowable from the signature alone)
+            try:
+                compile_one(sig)
+                return True
+            except jax.errors.JaxRuntimeError as e:
+                if not _compile_helper_crash(e):
+                    raise
+                import sys
+                self._poisoned_sigs.add(sig)
+                print(f"# prewarm: remote-compile helper crashed on "
+                      f"{sig}; dispatch will split such batches",
+                      file=sys.stderr)
+                return False
+
         if not sigs:
             return 0
         with concurrent.futures.ThreadPoolExecutor(
                 min(max_workers, len(sigs))) as ex:
-            list(ex.map(compile_one, sigs))
-        return len(sigs)
+            return sum(ex.map(compile_guarded, sigs))
 
     def generate_ids(self, prompts: Sequence[str], seed: Optional[int] = None,
                      rng: Optional[jax.Array] = None) -> np.ndarray:
@@ -371,12 +406,53 @@ class TextGenEngine:
         Dispatches to the shared-prefix program when the batch's prompts
         share a ≥SHARED_PREFIX_MIN-token common prefix (few-shot templates
         always do) — same sampling-key schedule and exact attention math,
-        so outputs match the plain path up to float reduction order."""
+        so outputs match the plain path up to float reduction order.
+
+        Compile-helper resilience: certain shapes deterministically crash
+        the tunneled remote-compile service (HTTP 500, a per-shape backend
+        bug distinct from OOM).  Such a batch is split in half and retried
+        (each half folds its index into the rng so rows don't repeat
+        sampling keys); the signature is remembered so later batches
+        pre-split without a doomed compile attempt."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0 if seed is None else seed)
+        if len(prompts) > 1:
+            sig = self.signature_for(prompts)
+            if sig in self._poisoned_sigs:
+                return self._generate_ids_halves(prompts, rng)
+            try:
+                return self._generate_ids_once(prompts, rng)
+            except jax.errors.JaxRuntimeError as e:
+                if not _compile_helper_crash(e):
+                    raise
+                import sys
+                self._poisoned_sigs.add(sig)
+                print(f"# text engine: remote-compile helper crashed on "
+                      f"signature {sig} — splitting the batch in half "
+                      f"(sticky; later batches of this shape pre-split)",
+                      file=sys.stderr)
+                return self._generate_ids_halves(prompts, rng)
+        return self._generate_ids_once(prompts, rng)
+
+    def _generate_ids_halves(self, prompts: Sequence[str],
+                             rng: jax.Array) -> np.ndarray:
+        """Split dispatch for poisoned compile signatures: two half
+        batches (recursive — quarters if a half's shape also crashes),
+        per-half rng fold so sampling keys differ across halves."""
+        mid = (len(prompts) + 1) // 2
+        parts = [self.generate_ids(list(prompts[:mid]),
+                                   rng=jax.random.fold_in(rng, 0)),
+                 self.generate_ids(list(prompts[mid:]),
+                                   rng=jax.random.fold_in(rng, 1))]
+        return np.concatenate(parts, axis=0)
+
+    def _generate_ids_once(self, prompts: Sequence[str],
+                           rng: jax.Array) -> np.ndarray:
+        """Single-program dispatch (shared-prefix or plain)."""
         b_real = len(prompts)
         split = self._shared_split(prompts)
         if split is not None:
-            return self._generate_ids_shared(split, b_real, seed=seed,
-                                             rng=rng)
+            return self._generate_ids_shared(split, b_real, rng=rng)
         input_ids, mask = self.processor.encode_batch_left_padded(prompts)
         t_bucket = _bucket(input_ids.shape[1])
         pad = t_bucket - input_ids.shape[1]

@@ -145,6 +145,13 @@ def main() -> None:
 
     # ---- step 2: negatives + densification over n items ----
     if "2" in stages:
+        # a TIMED stage must start clean: a leftover negative_prompt.json
+        # from an earlier run makes step 2's phase-resume skip 2a (and at
+        # a different item count / tokenizer it is also wrong input)
+        for stale in ("negative_prompt.json", "long_prompt.json"):
+            sp = os.path.join(out, "step2", stale)
+            if os.path.exists(sp):
+                os.remove(sp)
         r = run_stage("step2", "ospo_tpu.pipeline.step2", {
             # B=32 at real BPE lengths: the measured p1200 t48 point
             # (1378 tok/s, outputs-timed/stage_shapes.log; B=48/64 crash
@@ -164,6 +171,11 @@ def main() -> None:
 
     # ---- step 3: CFG image generation over n items (6 images each) ----
     if "3" in stages:
+        # clean start: step 3's skip-if-exists resume would skip every
+        # group a previous run already generated, timing a no-op
+        import shutil
+        if os.path.isdir(os.path.join(out, "step3")):
+            shutil.rmtree(os.path.join(out, "step3"))
         r = run_stage("step3", "ospo_tpu.pipeline.step3", {
             **base_model, "seed_list": [0, 1, 2], "batch_size": 24,
             "data_path": os.path.join(out, "long_prompt.json"),
@@ -189,6 +201,12 @@ def main() -> None:
 
     # ---- step 4a: question generation (empty image dir → 4b no-op) ----
     if "4" in stages:
+        # clean start: step 4a skips question gen when vqa_prompt.json
+        # exists, and 4b's train.json would mix runs
+        import shutil
+        for d in ("step4a", "step4"):
+            if os.path.isdir(os.path.join(out, d)):
+                shutil.rmtree(os.path.join(out, d))
         r = run_stage("step4a", "ospo_tpu.pipeline.step4", {
             **base_model, "seed": 42,
             "batch_size": int(os.environ.get(

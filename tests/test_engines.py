@@ -244,3 +244,78 @@ def test_forced_cfg_logits_matches_full_forward(setup):
     for i in range(n_img):
         re = jax.random.categorical(keys[i], jnp.asarray(fused[:, i]))
         np.testing.assert_array_equal(np.asarray(re), toks[:, i])
+
+
+def test_text_engine_splits_on_compile_helper_crash(setup):
+    """The tunneled remote-compile service crashes deterministically on
+    certain shapes (HTTP 500, a per-shape backend bug — e.g. step-2b's
+    dense-phase (shared, 32, 128, 1536)).  The engine must split such a
+    batch in half, remember the poisoned signature so later batches
+    pre-split without a doomed attempt, and keep every other error loud."""
+    cfg, model, proc = setup
+    eng = TextGenEngine(model, proc, max_new_tokens=4, do_sample=False)
+    prompts = [f"prompt number {i}" for i in range(4)]
+    ref = eng.generate_ids(prompts, seed=0)
+    bad_sig = eng.signature_for(prompts)
+
+    calls = {"n": 0}
+    orig_once = type(eng)._generate_ids_once
+
+    def crash_on_full(self, ps, rng):
+        calls["n"] += 1
+        if len(ps) == len(prompts):
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: http://127.0.0.1:8093/remote_compile: HTTP 500: "
+                "tpu_compile_helper subprocess exit code 1")
+        return orig_once(self, ps, rng)
+
+    eng2 = TextGenEngine(model, proc, max_new_tokens=4, do_sample=False)
+    eng2._generate_ids_once = crash_on_full.__get__(eng2)
+    out = eng2.generate_ids(prompts, seed=0)
+    assert out.shape == ref.shape
+    assert bad_sig in eng2._poisoned_sigs
+    n_after_first = calls["n"]          # 1 doomed + 2 halves
+    assert n_after_first == 3
+    # second batch of the same shape pre-splits: no new doomed attempt
+    out2 = eng2.generate_ids(prompts, seed=0)
+    assert calls["n"] == n_after_first + 2
+    np.testing.assert_array_equal(out, out2)  # split path is deterministic
+    # greedy halves must agree row-for-row with the unsplit program
+    np.testing.assert_array_equal(out, ref)
+
+    # non-helper errors stay loud
+    def crash_other(self, ps, rng):
+        raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    eng3 = TextGenEngine(model, proc, max_new_tokens=4, do_sample=False)
+    eng3._generate_ids_once = crash_other.__get__(eng3)
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        eng3.generate_ids(prompts, seed=0)
+    assert not eng3._poisoned_sigs
+
+
+def test_text_engine_prewarm_survives_helper_crash(setup):
+    """A poisoned signature during prewarm must be recorded and skipped,
+    not kill the warmup (and with it the pipeline stage)."""
+    cfg, model, proc = setup
+    eng = TextGenEngine(model, proc, max_new_tokens=4, do_sample=False)
+    good = eng.signature_for(["hello", "hullo"])
+    bad = ("plain", 4, 128)
+
+    orig = TextGenEngine._generate
+
+    class _Boom:
+        def lower(self, *a, **k):
+            ids = a[2]
+            if tuple(ids.shape) == (4, 128):
+                raise jax.errors.JaxRuntimeError(
+                    "INTERNAL: remote_compile: HTTP 500: helper died")
+            return orig.lower(*a, **k)
+
+    TextGenEngine._generate = _Boom()
+    try:
+        n_ok = eng.prewarm([good, bad])
+    finally:
+        TextGenEngine._generate = orig
+    assert n_ok == 1
+    assert bad in eng._poisoned_sigs and good not in eng._poisoned_sigs

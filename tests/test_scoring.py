@@ -232,3 +232,50 @@ def test_prepared_scoring_matches_direct(engine):
     for d, p in zip(direct, via_prep):
         assert d["local_score"] == p["local_score"]
         assert d["global_score"] == p["global_score"]
+
+
+def test_scoring_falls_back_on_compile_helper_crash(engine_factory):
+    """The tunneled remote-compile helper crashes deterministically on
+    certain shared-program shapes (HTTP 500 — it killed the first 7B
+    scoring-gate attempt at 24 shared images).  The engine must treat it
+    like the OOM class: sticky-downgrade to the single-forward fallback
+    instead of killing step 4b.  Other errors stay loud."""
+    import jax
+
+    rng = np.random.default_rng(23)
+    imgs = [Image.fromarray(
+        rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8))
+        for _ in range(2)]
+    per_image = [["Is there a dog?", "Does it match the prompt?"],
+                 ["Is it red?", "Is it big?"]]
+
+    ref_eng = engine_factory()
+    ref = ref_eng.score_images_multi(imgs, per_image, share_prefix=False)
+
+    eng = engine_factory()
+
+    def boom(prep):
+        raise jax.errors.JaxRuntimeError(
+            "INTERNAL: http://127.0.0.1:8093/remote_compile: HTTP 500: "
+            "tpu_compile_helper subprocess exit code 1")
+
+    eng._execute_shared_multi = boom
+    out = eng.score_images_multi(imgs, per_image)
+    assert eng._shared_oom  # sticky downgrade recorded
+    for o, r in zip(out, ref):
+        assert abs(o["local_score"] - r["local_score"]) < 1e-6
+        assert abs(o["global_score"] - r["global_score"]) < 1e-6
+
+    # any other error must NOT downgrade
+    eng2 = engine_factory()
+
+    def boom2(prep):
+        raise jax.errors.JaxRuntimeError("INTERNAL: something unrelated")
+
+    eng2._execute_shared_multi = boom2
+    try:
+        eng2.score_images_multi(imgs, per_image)
+        assert False, "expected the unrelated error to propagate"
+    except jax.errors.JaxRuntimeError:
+        pass
+    assert not eng2._shared_oom
