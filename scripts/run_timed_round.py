@@ -43,7 +43,7 @@ FIXTURES = os.path.join(REPO, "tests", "fixtures", "examples")
 # BENCH_NOTES budget model (measured per-chip rates, round 2) — the
 # comparison column in ROUND_r03.json
 BUDGET = {
-    "step2_tok_s": 2499.3,     # shared-prefix p768 t48 B=64 (round 3 sweep)
+    "step2_tok_s": 1378.0,     # stage-true p1200 B=32 (stage_shapes.log, r4)
     "step3_imgtok_s": 990.2,   # serving default B=24 (round 4 re-anchor)
     "step4b_pairs_h": 3577.3,  # rows=16 pre-image shared segment (round 4)
     "step5_samples_s": 2.04,
