@@ -51,6 +51,15 @@ def _compile_helper_crash(e: Exception) -> bool:
             and "RESOURCE_EXHAUSTED" not in s)
 
 
+def _splittable_failure(e: Exception) -> bool:
+    """Failures a half-sized batch genuinely fixes: the compile helper's
+    per-shape crash (its AOT pass also rejects programs over the HBM
+    budget with the same HTTP 500) and execution RESOURCE_EXHAUSTED —
+    the per-row KV cache dominates text-decode HBM, so half the rows is
+    half the cache.  Everything else stays loud."""
+    return _compile_helper_crash(e) or "RESOURCE_EXHAUSTED" in str(e)
+
+
 class TextGenEngine:
     # prompts whose common token prefix is shorter than this run the plain
     # path — below it the shared-prefix program's extra B=1 prefill pass
@@ -423,13 +432,16 @@ class TextGenEngine:
             try:
                 return self._generate_ids_once(prompts, rng)
             except jax.errors.JaxRuntimeError as e:
-                if not _compile_helper_crash(e):
+                if not _splittable_failure(e):
                     raise
                 import sys
                 self._poisoned_sigs.add(sig)
-                print(f"# text engine: remote-compile helper crashed on "
-                      f"signature {sig} — splitting the batch in half "
-                      f"(sticky; later batches of this shape pre-split)",
+                kind = ("remote-compile helper crashed"
+                        if _compile_helper_crash(e) else
+                        "execution RESOURCE_EXHAUSTED")
+                print(f"# text engine: {kind} on signature {sig} — "
+                      f"splitting the batch in half (sticky; later "
+                      f"batches of this shape pre-split)",
                       file=sys.stderr)
                 return self._generate_ids_halves(prompts, rng)
         return self._generate_ids_once(prompts, rng)

@@ -174,6 +174,48 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
         lm["lm_head"] = _jnp.zeros((1, 1), model.cfg.dtype)
         model.params = {**model.params, "language_model": lm}
 
+    # text-only steps (2 and 4a question-gen) never touch the vision
+    # encoder, the VQ tokenizer, or the generation heads — ~2 GB bf16 at
+    # 7B that competes with the decode KV cache for a 15.75 GB chip.
+    # Measured consequence of NOT dropping them: the stage-true
+    # B=32/p1200 text point (stage_shapes.log, bench model = trunk only)
+    # does not reproduce in the full pipeline — the B=32 program fails
+    # the AOT compiler's HBM check.  Opt-in per step config, mirrors
+    # drop_lm_head (reference: text steps build the full
+    # MultiModalityCausalLM too — ospo/utils/model.py:26-40 — but an
+    # A100-80G never feels it).
+    if config.get("drop_vision"):
+        import jax.numpy as _jnp
+
+        print("# Dropping vision/VQ/generation weights (text-only step).")
+        stub = _jnp.zeros((1, 1), model.cfg.dtype)
+        model.params = {
+            **model.params,
+            "vision_model": {"_dropped": stub},
+            "aligner": {"_dropped": stub},
+            "gen_vision_model": {"_dropped": stub},
+            "gen_aligner": {"_dropped": stub},
+            "gen_head": {"_dropped": stub},
+            "gen_embed": stub,
+        }
+
+    # image-GENERATION steps (3, inference) never run the SigLIP
+    # understanding path — vision_model + aligner are ~1.2 GB bf16 at 7B
+    # that sit under the B=24 decode program's ~14 GB peak and tip it
+    # over 15.75 GB (the bench headline was measured trunk-only, so the
+    # gap only shows in the full pipeline).  Keeps the VQ decoder and
+    # gen heads, which step 3 does use.
+    if config.get("drop_understanding"):
+        import jax.numpy as _jnp
+
+        print("# Dropping SigLIP/aligner weights (image-generation step).")
+        stub = _jnp.zeros((1, 1), model.cfg.dtype)
+        model.params = {
+            **model.params,
+            "vision_model": {"_dropped": stub},
+            "aligner": {"_dropped": stub},
+        }
+
     # optional in-process parallelism: shard the weights over a
     # (data, model) mesh; engines pick the mesh up via ``model.mesh`` and
     # shard their batches on the data axis.  Under the multi-process

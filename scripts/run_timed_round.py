@@ -138,6 +138,7 @@ def main() -> None:
                     "OSPO_TIMED_STEP1_BATCH", "64")),
                 "quantize": "int8",
                 "kv_quant": "int8",
+                "drop_vision": True,
                 "save_path": os.path.join(out, "step1"),
                 "generation_config": {"do_sample": True, "temperature": 1.3,
                                       "max_new_tokens": 256},
@@ -158,7 +159,7 @@ def main() -> None:
             # the tunneled remote-compile helper at this shape)
             **base_model, "seed_list": [0, 1, 2],
             "batch_size": int(os.environ.get("OSPO_TIMED_STEP2_BATCH", "32")),
-            "quantize": "int8", "kv_quant": "int8",
+            "quantize": "int8", "kv_quant": "int8", "drop_vision": True,
             "data_path": os.path.join(out, "base_prompt.json"),
             "save_path": os.path.join(out, "step2"),
             "generation_config": {"do_sample": True, "num_beams": 1,
@@ -184,6 +185,7 @@ def main() -> None:
                                   "cfg_weight": 5.0},
             "quantize": "int8", "kv_quant": "int8", "kv_layout": "shbd",
             "decode_segments": 8, "drop_lm_head": True,
+            "drop_understanding": True,
         }, out)
         pngs = sum(
             sum(1 for f in files if f.endswith(".png"))
@@ -211,7 +213,7 @@ def main() -> None:
             **base_model, "seed": 42,
             "batch_size": int(os.environ.get(
                 "OSPO_TIMED_STEP4A_BATCH", "64")),
-            "kv_quant": "int8", "shared_prefix": True,
+            "kv_quant": "int8", "shared_prefix": True, "drop_vision": True,
             "data_path": os.path.join(out, "long_prompt.json"),
             "image_path": os.path.join(out, "empty"),
             "save_path": os.path.join(out, "step4a"),

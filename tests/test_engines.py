@@ -283,9 +283,24 @@ def test_text_engine_splits_on_compile_helper_crash(setup):
     # greedy halves must agree row-for-row with the unsplit program
     np.testing.assert_array_equal(out, ref)
 
-    # non-helper errors stay loud
+    # execution OOM also splits (half the rows = half the KV cache)
+    calls2 = {"n": 0}
+
+    def oom_on_full(self, ps, rng):
+        calls2["n"] += 1
+        if len(ps) == len(prompts):
+            raise jax.errors.JaxRuntimeError(
+                "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)")
+        return orig_once(self, ps, rng)
+
+    eng_oom = TextGenEngine(model, proc, max_new_tokens=4, do_sample=False)
+    eng_oom._generate_ids_once = oom_on_full.__get__(eng_oom)
+    np.testing.assert_array_equal(eng_oom.generate_ids(prompts, seed=0), ref)
+    assert eng_oom._poisoned_sigs
+
+    # anything else stays loud
     def crash_other(self, ps, rng):
-        raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: bad operand")
 
     eng3 = TextGenEngine(model, proc, max_new_tokens=4, do_sample=False)
     eng3._generate_ids_once = crash_other.__get__(eng3)
