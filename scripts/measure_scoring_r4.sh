@@ -48,10 +48,14 @@ print('health ok', float(jax.jit(lambda a: a@a)(x).sum()))" || {
 # 1. scoring-workload gate (two-process; bf16 reference exported once)
 SREF=outputs-timed/sgate_ref
 if [ ! -f "$SREF/scoring_ref.npz" ]; then
-  timeout 3600 python scripts/validate_weights.py \
-    --model_preset 7b --quantize none --phases scoring \
-    --export-reference "$SREF" --out outputs-timed/sgate_export \
-    >> "$LOG.gate" 2>&1 || { echo "POINT sgate_export rc=$? see $LOG.gate" >> "$LOG"; }
+  if timeout 3600 python scripts/validate_weights.py \
+      --model_preset 7b --quantize none --phases scoring \
+      --export-reference "$SREF" --out outputs-timed/sgate_export \
+      >> "$LOG.gate" 2>&1; then
+    echo "POINT sgate_export rc=0 exported -> $SREF" >> "$LOG"
+  else
+    echo "POINT sgate_export rc=$? see $LOG.gate" >> "$LOG"
+  fi
 fi
 gate sgate_int8 int8 --compare-reference "$SREF" --out outputs-timed/sgate_int8
 gate sgate_w8a8 w8a8 --compare-reference "$SREF" --out outputs-timed/sgate_w8a8
