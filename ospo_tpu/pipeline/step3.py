@@ -164,6 +164,15 @@ def run_step3(config, engine: ImageGenEngine, processor, data: List[dict]) -> No
                         traceback.print_exc()
 
                 pending.append(png_pool.submit(fetch_and_save))
+                # BACKPRESSURE: each pending future pins its group's
+                # device uint8 array (and its queued execution) — an
+                # unbounded pending list accumulated ~3 GB of un-fetched
+                # buffers over a 300-group run and tipped the B=24 decode
+                # peak over 15.75 GB mid-stage (timed round r4).  Three
+                # in flight keeps the fetch/PNG overlap (2 writer
+                # workers) while bounding held device memory.
+                if len(pending) >= 3:
+                    pending[-3].result()
                 meter.update(n_real * engine.image_token_num)
         except Exception as e:  # per-batch fault tolerance (reference parity)
             failed_batches += 1
