@@ -173,7 +173,14 @@ def build_config(
     # small specializations (configs/quota_1h.yaml) extend a full stage
     # config without duplicating it.
     if cfg.get("cfg_path"):
-        cfg = _deep_merge(load_yaml(cfg["cfg_path"]), cfg)
+        base = load_yaml(cfg["cfg_path"])
+        # make shadowing visible in run logs (ADVICE r4): a stage config
+        # silently overridden by its specialization is hard to audit
+        shadowed = sorted(k for k in cfg if k != "cfg_path" and k in base)
+        if shadowed:
+            print(f"# config: {cfg_path} overrides base "
+                  f"{cfg['cfg_path']} keys: {shadowed}")
+        cfg = _deep_merge(base, cfg)
     if overrides:
         cfg = _deep_merge(cfg, from_cli(list(overrides)))
     if use_cli:

@@ -124,6 +124,11 @@ class ImageGenEngine:
         # Ragged tails still bucket to powers of two BELOW the cap.
         self.batch_cap = batch_cap
         self._decode_fn = jax.jit(self._decode_tokens)
+        # per-signature dispatch timing → stage compile/steady split
+        # (dispatch is async here, so this reads ≈ pure compile time)
+        from ospo_tpu.utils.profiling import DispatchStats
+
+        self.dispatch_stats = DispatchStats()
 
     # ------------------------------------------------------------------
     # prompt construction (host)
@@ -495,9 +500,13 @@ class ImageGenEngine:
 
         if not sigs:
             return 0
+        import time as _time
+
+        t0 = _time.time()
         with concurrent.futures.ThreadPoolExecutor(
                 min(max_workers, len(sigs))) as ex:
             list(ex.map(compile_one, sigs))
+        self.dispatch_stats.add_prewarm(_time.time() - t0)
         return len(sigs)
 
     def _batch_bucket(self, b_real: int) -> int:
@@ -549,14 +558,19 @@ class ImageGenEngine:
             rng,
             jnp.float32(self.cfg_weight), jnp.float32(self.temperature),
         )
-        if self.speculative > 0:
-            out, iters = self._generate_tokens_sjd(*args)
-            # keep the device scalar — int(iters) here would block until
-            # the whole generation finishes, re-serializing the writer
-            # overlap generate_images_device promises
-            self._last_sjd_iters_dev = iters
-        else:
-            out = self._generate_tokens(*args)
+        # dispatch is async — the timed block captures trace+compile on a
+        # signature's FIRST call (jit blocks there) and ~0 afterwards, so
+        # DispatchStats reads almost pure compile for this engine
+        sig = ("decode", tokens.shape[0], tokens.shape[1])
+        with self.dispatch_stats.timed(sig):
+            if self.speculative > 0:
+                out, iters = self._generate_tokens_sjd(*args)
+                # keep the device scalar — int(iters) here would block
+                # until the whole generation finishes, re-serializing the
+                # writer overlap generate_images_device promises
+                self._last_sjd_iters_dev = iters
+            else:
+                out = self._generate_tokens(*args)
         return out, b_real
 
     @property

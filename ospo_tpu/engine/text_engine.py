@@ -40,6 +40,17 @@ def _bucket(n: int, step: int = 64) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+def _bucket_tail(n: int) -> int:
+    """Per-row sequence bucket (tails and plain prompts): 64-token steps
+    up to 512, 256-token steps beyond.  Long DISTINCT tails only occur
+    when a batch's rows do not share a template (template-impure batches;
+    step-2b worst cases) — there the fine 64-step grid spread production
+    lengths over many (960/1280/1344/1408…) signatures, each a slow
+    remote compile on the tunneled chip (VERDICT r4 #4); coarsening
+    collapses them to ~3 signatures at ≤256 pad tokens of extra prefill."""
+    return _bucket(n) if n <= 512 else _bucket(n, step=256)
+
+
 def _compile_helper_crash(e: Exception) -> bool:
     """True for the tunneled remote-compile service's per-shape crash
     (HTTP 500 / helper subprocess death).  Deliberately NARROW: OOMs
@@ -113,6 +124,11 @@ class TextGenEngine:
         # the halves' smaller programs compile — instead of killing a
         # multi-hour pipeline stage on a compiler-service defect.
         self._poisoned_sigs: set = set()
+        # per-signature dispatch timing → stage compile/steady split
+        # (profiling.DispatchStats; dumped as engine_stats.json)
+        from ospo_tpu.utils.profiling import DispatchStats
+
+        self.dispatch_stats = DispatchStats()
 
     @classmethod
     def from_generation_config(cls, model, processor, gen_cfg,
@@ -307,7 +323,7 @@ class TextGenEngine:
         prefix_mask = np.zeros((1, c_b), np.int32)
         prefix_ids[0, c_b - common:] = enc[0][:common]
         prefix_mask[0, c_b - common:] = 1
-        t_b = _bucket(max(len(e) - common for e in enc))
+        t_b = _bucket_tail(max(len(e) - common for e in enc))
         tail_ids = np.full((len(enc), t_b), pad_id, np.int32)
         tail_mask = np.zeros((len(enc), t_b), np.int32)
         for i, e in enumerate(enc):
@@ -329,7 +345,7 @@ class TextGenEngine:
                     prefix_ids.shape[1], tail_ids.shape[1])
         tok = self.processor.tokenizer
         t_max = max(len(tok.encode(p)) for p in prompts)
-        return ("plain", self._batch_bucket(len(prompts)), _bucket(t_max))
+        return ("plain", self._batch_bucket(len(prompts)), _bucket_tail(t_max))
 
     def prewarm(self, signatures, max_workers: int = 4) -> int:
         """AOT-compile the decode program for each distinct
@@ -404,9 +420,14 @@ class TextGenEngine:
 
         if not sigs:
             return 0
+        import time as _time
+
+        t0 = _time.time()
         with concurrent.futures.ThreadPoolExecutor(
                 min(max_workers, len(sigs))) as ex:
-            return sum(ex.map(compile_guarded, sigs))
+            n = sum(ex.map(compile_guarded, sigs))
+        self.dispatch_stats.add_prewarm(_time.time() - t0)
+        return n
 
     def generate_ids(self, prompts: Sequence[str], seed: Optional[int] = None,
                      rng: Optional[jax.Array] = None) -> np.ndarray:
@@ -426,8 +447,12 @@ class TextGenEngine:
         if rng is None:
             rng = jax.random.PRNGKey(0 if seed is None else seed)
         if len(prompts) > 1:
-            sig = self.signature_for(prompts)
-            if sig in self._poisoned_sigs:
+            # the signature is only needed to consult/extend the poisoned
+            # set — computing it eagerly double-tokenized every batch
+            # (signature_for + _generate_ids_once both run _shared_split)
+            # even when no shape had ever crashed (ADVICE r4)
+            if self._poisoned_sigs and (
+                    self.signature_for(prompts) in self._poisoned_sigs):
                 return self._generate_ids_halves(prompts, rng)
             try:
                 return self._generate_ids_once(prompts, rng)
@@ -435,6 +460,7 @@ class TextGenEngine:
                 if not _splittable_failure(e):
                     raise
                 import sys
+                sig = self.signature_for(prompts)
                 self._poisoned_sigs.add(sig)
                 kind = ("remote-compile helper crashed"
                         if _compile_helper_crash(e) else
@@ -460,13 +486,14 @@ class TextGenEngine:
 
     def _generate_ids_once(self, prompts: Sequence[str],
                            rng: jax.Array) -> np.ndarray:
-        """Single-program dispatch (shared-prefix or plain)."""
+        """Single-program dispatch (shared-prefix or plain).  ``rng`` is
+        required — ``generate_ids`` always constructs it first."""
         b_real = len(prompts)
         split = self._shared_split(prompts)
         if split is not None:
             return self._generate_ids_shared(split, b_real, rng=rng)
         input_ids, mask = self.processor.encode_batch_left_padded(prompts)
-        t_bucket = _bucket(input_ids.shape[1])
+        t_bucket = _bucket_tail(input_ids.shape[1])
         pad = t_bucket - input_ids.shape[1]
         if pad:
             input_ids = np.pad(input_ids, ((0, 0), (pad, 0)),
@@ -480,26 +507,27 @@ class TextGenEngine:
             input_ids = np.concatenate(
                 [input_ids, np.repeat(input_ids[-1:], reps, 0)])
             mask = np.concatenate([mask, np.repeat(mask[-1:], reps, 0)])
-        if rng is None:
-            rng = jax.random.PRNGKey(0 if seed is None else seed)
         input_ids, mask = jnp.asarray(input_ids), jnp.asarray(mask)
         if self.mesh is not None:
             input_ids = mesh_lib.shard_on_axis(input_ids, self.mesh)
             mask = mesh_lib.shard_on_axis(mask, self.mesh)
             rng = mesh_lib.replicate(rng, self.mesh)
-        out = self._generate(
-            self.model.params, input_ids, mask, rng,
-            jnp.float32(self.temperature),
-            max_new=self.max_new_tokens, do_sample=self.do_sample,
-            top_p=self.top_p,
-        )
-        return np.asarray(out)[:b_real]
+        # signature from the already-padded operands (no re-tokenize)
+        with self.dispatch_stats.timed(("plain", b_bucket, t_bucket)):
+            out = self._generate(
+                self.model.params, input_ids, mask, rng,
+                jnp.float32(self.temperature),
+                max_new=self.max_new_tokens, do_sample=self.do_sample,
+                top_p=self.top_p,
+            )
+            out = np.asarray(out)
+        return out[:b_real]
 
     def _generate_ids_shared(self, split, b_real: int,
-                             seed: Optional[int] = None,
-                             rng: Optional[jax.Array] = None) -> np.ndarray:
+                             rng: jax.Array = None) -> np.ndarray:
         """Device dispatch for the shared-prefix path: pad the tail batch
-        to its bucket, shard tails on 'data', replicate the prefix."""
+        to its bucket, shard tails on 'data', replicate the prefix.
+        ``rng`` is required (generate_ids constructs it)."""
         from ospo_tpu.parallel import mesh as mesh_lib
 
         prefix_ids, prefix_mask, tail_ids, tail_mask = split
@@ -510,8 +538,6 @@ class TextGenEngine:
                 [tail_ids, np.repeat(tail_ids[-1:], reps, 0)])
             tail_mask = np.concatenate(
                 [tail_mask, np.repeat(tail_mask[-1:], reps, 0)])
-        if rng is None:
-            rng = jax.random.PRNGKey(0 if seed is None else seed)
         operands = [jnp.asarray(prefix_ids), jnp.asarray(prefix_mask),
                     jnp.asarray(tail_ids), jnp.asarray(tail_mask)]
         if self.mesh is not None:
@@ -520,13 +546,16 @@ class TextGenEngine:
             operands[2] = mesh_lib.shard_on_axis(operands[2], self.mesh)
             operands[3] = mesh_lib.shard_on_axis(operands[3], self.mesh)
             rng = mesh_lib.replicate(rng, self.mesh)
-        out = self._generate_shared(
-            self.model.params, *operands, rng,
-            jnp.float32(self.temperature),
-            max_new=self.max_new_tokens, do_sample=self.do_sample,
-            top_p=self.top_p,
-        )
-        return np.asarray(out)[:b_real]
+        sig = ("shared", b_bucket, prefix_ids.shape[1], tail_ids.shape[1])
+        with self.dispatch_stats.timed(sig):
+            out = self._generate_shared(
+                self.model.params, *operands, rng,
+                jnp.float32(self.temperature),
+                max_new=self.max_new_tokens, do_sample=self.do_sample,
+                top_p=self.top_p,
+            )
+            out = np.asarray(out)
+        return out[:b_real]
 
     def generate(self, prompts: Sequence[str], seed: Optional[int] = None,
                  rng: Optional[jax.Array] = None) -> List[str]:

@@ -196,10 +196,14 @@ def _maybe_lora(x: jax.Array, w: jax.Array, lora: Optional[Dict[str, jax.Array]]
     elif isinstance(w, dict) and "sa" in w:
         # W8A8 ({"q", "sa"}): dynamic per-token int8 activations, int8×int8
         # dot with int32 accumulation — the MXU's 2× int8 rate for
-        # compute-bound large-M prefills (ops/quant.quantized_matmul_w8a8)
+        # compute-bound large-M prefills (ops/quant.quantized_matmul_w8a8).
+        # Under quant.w8a16_override() (trace-time flag) the SAME payload
+        # runs weight-only — used by the scoring engine's precision-mixed
+        # readout (suffix passes in W8A16, prefill in w8a8).
         from ospo_tpu.ops import quant as _quant
 
-        y = _quant.quantized_matmul_w8a8(x, w)
+        y = (_quant.quantized_matmul_w8a16(x, w) if _quant.w8a16_active()
+             else _quant.quantized_matmul_w8a8(x, w))
     elif isinstance(w, dict):  # weight-only int8 ({"q", "s"}, ops/quant.py)
         y = jnp.einsum("btd,fd->btf", x, w["q"].astype(x.dtype))
         y = y * w["s"].astype(x.dtype)

@@ -16,6 +16,7 @@ Enable via ``quantize: int8`` in step configs / ``OSPO_BENCH_QUANT=int8``.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Dict
 
 import jax
@@ -162,6 +163,43 @@ def quantized_matmul_w8a8(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
 def dequantize_matrix_w8a8(qw: Dict[str, jax.Array],
                            dtype=jnp.bfloat16) -> jax.Array:
     return (qw["q"].astype(jnp.float32) * qw["sa"][..., None]).astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# trace-time W8A16 override for w8a8 weights
+# --------------------------------------------------------------------------
+# A {"q","sa"} matrix is the SAME int8 payload as weight-only int8 — only
+# the matmul epilogue differs (dynamic activation quantization vs a bf16
+# einsum).  Inside this context, the llama matmul dispatch routes "sa"
+# weights through the WEIGHT-ONLY path, so a single program can run its
+# prefill in w8a8 (2× MXU int8 rate where it's compute-bound) and a
+# noise-sensitive phase — e.g. the scoring suffix passes feeding the
+# yes/no readout, which failed the r4 pair-agreement gate under full
+# w8a8 — in W8A16.  The flag is read at TRACE time (plain Python during
+# jit tracing), so the choice is baked statically into the program.
+_W8A16_OVERRIDE = False
+
+
+@contextlib.contextmanager
+def w8a16_override():
+    global _W8A16_OVERRIDE
+    prev = _W8A16_OVERRIDE
+    _W8A16_OVERRIDE = True
+    try:
+        yield
+    finally:
+        _W8A16_OVERRIDE = prev
+
+
+def w8a16_active() -> bool:
+    return _W8A16_OVERRIDE
+
+
+def quantized_matmul_w8a16(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
+    """Weight-only matmul over a w8a8 payload: y = (x @ qᵀ) · sa — no
+    activation quantization, bf16 contraction."""
+    y = jnp.einsum("btd,fd->btf", x, qw["q"].astype(x.dtype))
+    return y * qw["sa"].astype(x.dtype)
 
 
 def quantize_matrix_int4(w: jax.Array) -> Dict[str, jax.Array]:

@@ -50,6 +50,29 @@ def batched(items: Sequence, batch_size: int):
         yield items[i : i + batch_size]
 
 
+def batched_grouped(items: Sequence, batch_size: int, key):
+    """Batch WITHIN key-groups so every yielded batch is group-pure.
+
+    Steps 2/4a sort samples by their few-shot template key, but batching
+    the concatenated sorted list still mixes templates at every group
+    boundary — and a template-impure batch collapses the text engine's
+    shared prefix to the ~128-token system prompt, dragging each row's
+    ~1,000-token template through the per-row cache (the round-4 timed
+    round measured step 2 at ~8× below its template-pure POINT for
+    exactly this reason — VERDICT r4 #3/#4, signatures
+    ('shared', 32, 128, 960..1408)).  Group-pure batches keep the
+    template on the B=1 shared segment; the ragged final batch of each
+    group pads up to its power-of-two bucket, a bounded cost (≤1 ragged
+    batch per group) that buys back template sharing for every batch.
+
+    ``items`` must already be sorted/grouped by ``key`` (the callers'
+    ``_template_grouped`` stable sort)."""
+    import itertools
+
+    for _, grp in itertools.groupby(items, key=key):
+        yield from batched(list(grp), batch_size)
+
+
 class PreferenceDataset:
     """train.json records → (item_id, text token ids, chosen/rejected pixel
     tensors) — ``PreferenceDataset`` (ospo/dataclass/train_dataset.py:16-97).

@@ -129,6 +129,19 @@ def get_model(config) -> Tuple[janus_lib.JanusModel, object, Processor]:
     tokenizer = load_tokenizer(
         tok_src, vocab_size=model.cfg.language.vocab_size,
     )
+    if config.get("tokenizer_path"):
+        # an explicit tokenizer larger than the model's vocab would emit
+        # out-of-range ids that jnp gather CLAMPS — silent garbage
+        # generation (e.g. the local BPE's 4096 ids into the tiny
+        # preset's 512-vocab).  Fail loudly like the missing-tokenizer
+        # path (ADVICE r4).
+        tok_vocab = getattr(tokenizer, "vocab_size", None)
+        if tok_vocab and tok_vocab > model.cfg.language.vocab_size:
+            raise ValueError(
+                f"tokenizer_path vocab ({tok_vocab}) exceeds the model's "
+                f"vocab_size ({model.cfg.language.vocab_size}) — ids would "
+                f"clamp silently; use a preset with vocab_size >= "
+                f"{tok_vocab} or a smaller tokenizer")
     image_size = model.cfg.vision.image_size
     image_processor = load_image_processor(model_path, image_size=image_size)
     # tiny models use fewer image tokens than the 576 protocol constant

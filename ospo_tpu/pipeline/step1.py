@@ -76,6 +76,9 @@ def generate_elements(config, model, processor) -> List[str]:
     # max_len uniques exist; the final answer may overshoot —
     # ospo/wrapper/text_generation.py:39-60, 84-103). sorted() only for
     # deterministic file contents; downstream sampling is random anyway.
+    from ospo_tpu.utils.profiling import dump_engine_stats
+
+    dump_engine_stats(config.save_path, text=engine)
     return sorted(elements)
 
 

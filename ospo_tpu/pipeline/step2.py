@@ -22,7 +22,7 @@ from ospo_tpu import chat
 from ospo_tpu.config import build_config
 from ospo_tpu.engine.text_engine import TextGenEngine
 from ospo_tpu.io import save_json_sharded, set_seed, shard_for_process
-from ospo_tpu.pipeline.datasets import batched, load_base_dataset
+from ospo_tpu.pipeline.datasets import load_base_dataset
 from ospo_tpu.pipeline.model_factory import get_model
 from ospo_tpu.pipeline.templates import (
     get_dense_conversation,
@@ -71,6 +71,11 @@ def build_negative_prompts(batch: List[dict], i: int, seed: int):
     return prompts, keep
 
 
+def _template_key(s: dict):
+    return (str(s.get("sub_category", "")),
+            tuple(s.get("perturbed_method", ())))
+
+
 def _template_grouped(data: List[dict]) -> List[dict]:
     """Stable-sort samples so each batch shares one few-shot template per
     perturbation index — (sub_category, perturbed_method) determine the
@@ -78,19 +83,27 @@ def _template_grouped(data: List[dict]) -> List[dict]:
     that ~600–1200-token prefix once per batch instead of once per row.
     Callers mutate samples in place and return the ORIGINAL list, so the
     saved artifact's order is unchanged."""
-    return sorted(data, key=lambda s: (str(s.get("sub_category", "")),
-                                       tuple(s.get("perturbed_method", ()))))
+    return sorted(data, key=_template_key)
 
 
-def _collect_signatures(engine: TextGenEngine, grouped: List[dict],
-                        bsz: int, build) -> List[tuple]:
+def _template_batches(data: List[dict], bsz: int) -> List[List[dict]]:
+    """The batches BOTH the prewarm signature walk and the data loops
+    dispatch: template-pure (``batched_grouped`` over the stable template
+    sort) — a mixed-template batch loses the shared prefix and runs ~8×
+    slower at production lengths (see ``datasets.batched_grouped``)."""
+    from ospo_tpu.pipeline.datasets import batched_grouped
+
+    return list(batched_grouped(_template_grouped(data), bsz, _template_key))
+
+
+def _collect_signatures(engine: TextGenEngine, batches: List[List[dict]],
+                        build) -> List[tuple]:
     """Compile signatures for every (batch, perturbation) the data loop
     will dispatch — prompt construction is deterministic, so this walks
-    the same grouped batches and feeds ``engine.prewarm`` the exact
+    the same template-pure batches and feeds ``engine.prewarm`` the exact
     (kind, batch, prefix, tail) tuples the loop will hit."""
     sigs = []
-    for start in range(0, len(grouped), bsz):
-        batch = grouped[start:start + bsz]
+    for batch in batches:
         for i in range(3):
             prompts, _ = build(batch, i)
             live = [p for p in prompts if p is not None]
@@ -101,9 +114,9 @@ def _collect_signatures(engine: TextGenEngine, grouped: List[dict],
 
 def run_negative(config, engine: TextGenEngine, data: List[dict]) -> List[dict]:
     seed_list = list(config.seed_list)
-    grouped = _template_grouped(data)
     done = 0
-    for bidx, batch in enumerate(batched(grouped, int(config.batch_size or 8))):
+    for bidx, batch in enumerate(
+            _template_batches(data, int(config.batch_size or 8))):
         outputs_by_index: List[List[str]] = []
         for i in range(3):
             prompts, keep = build_negative_prompts(batch, i, seed_list[i])
@@ -162,9 +175,9 @@ def build_dense_prompts(batch: List[dict], i: int, seed: int):
 
 def run_dense(config, engine: TextGenEngine, data: List[dict]) -> List[dict]:
     seed_list = list(config.seed_list)
-    grouped = _template_grouped(data)
     done = 0
-    for bidx, batch in enumerate(batched(grouped, int(config.batch_size or 8))):
+    for bidx, batch in enumerate(
+            _template_batches(data, int(config.batch_size or 8))):
         results: List[List[Tuple[str, str]]] = []
         for i in range(3):
             prompts, keep = build_dense_prompts(batch, i, seed_list[i])
@@ -222,7 +235,7 @@ def main(config) -> None:
         # construction is deterministic — build_negative_prompts; the
         # host-side re-tokenize is trivial next to one decode batch)
         n = engine.prewarm(_collect_signatures(
-            engine, _template_grouped(data), bsz,
+            engine, _template_batches(data, bsz),
             lambda b, i: build_negative_prompts(b, i, config.seed_list[i])))
         print(f"[step2a] pre-warmed {n} decode program(s)")
         negatives = run_negative(config, engine, data)
@@ -232,12 +245,15 @@ def main(config) -> None:
     # 2. densification — consumes this host's negative shard directly
     # (multi-host safe: no cross-host file dependency before the merge)
     n = engine.prewarm(_collect_signatures(
-        engine, _template_grouped(negatives), bsz,
+        engine, _template_batches(negatives, bsz),
         lambda b, i: build_dense_prompts(b, i, config.seed_list[i])))
     print(f"[step2b] pre-warmed {n} decode program(s)")
     dense = run_dense(config, engine, negatives)
     save_json_sharded(config.save_path, "long_prompt", dense)
     print("(Step 2) Dense prompt generation completed.")
+    from ospo_tpu.utils.profiling import dump_engine_stats
+
+    dump_engine_stats(config.save_path, text=engine)
 
 
 if __name__ == "__main__":

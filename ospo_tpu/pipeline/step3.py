@@ -239,6 +239,9 @@ def main(config) -> None:
         load_base_dataset(data_path, config.get("s_idx"), config.get("e_idx"))
     )
     run_step3(config, engine, processor, data)
+    from ospo_tpu.utils.profiling import dump_engine_stats
+
+    dump_engine_stats(config.save_path, image=engine)
     print("(Step 3) Image generation completed.")
 
 

@@ -407,6 +407,11 @@ class SimPOTrainer:
         last_metrics: Dict[str, float] = {}
         t0 = time.time()
         samples = 0
+        # compile/steady split (VERDICT r4 #3/#7): the first optimizer
+        # update's log forces a metrics sync, so its wall time bounds the
+        # train-step compile; everything after is steady-state
+        first_update_s = None
+        first_update_samples = 0
         # single-worker prefetch: the NEXT batch's host work overlaps the
         # current device step.  The worker owns the dataset iterator, so
         # the expensive part — PreferenceDataset.__getitem__'s PNG decode
@@ -467,6 +472,9 @@ class SimPOTrainer:
                 if (self.global_step % self.log_steps == 0
                         or self.global_step == 1) and self.is_main:
                     metrics = {k: float(v) for k, v in metrics.items()}
+                    if first_update_s is None:
+                        first_update_s = time.time() - t0
+                        first_update_samples = samples
                     metrics["lr"] = self._lr_fn(self.global_step)
                     metrics["samples_per_sec"] = samples / (time.time() - t0)
                     w = self.writer()
@@ -485,4 +493,25 @@ class SimPOTrainer:
         self.save()
         if self._writer is not None:
             self._writer.flush()
+        if self.is_main:
+            total_s = time.time() - t0
+            steady_s = total_s - (first_update_s or 0.0)
+            steady_n = samples - first_update_samples
+            stats = {
+                "first_update_s": round(first_update_s or 0.0, 1),
+                "total_s": round(total_s, 1),
+                "samples": samples,
+                "samples_per_s_wall": round(samples / total_s, 3)
+                if total_s > 0 else 0.0,
+                "samples_per_s_steady": round(steady_n / steady_s, 3)
+                if steady_s > 0 and steady_n > 0 else None,
+            }
+            try:
+                import json
+
+                with open(os.path.join(self.log_dir,
+                                       "train_stats.json"), "w") as f:
+                    json.dump(stats, f, indent=1)
+            except OSError as e:  # diagnostics, never fail training
+                print(f"# train_stats.json not written: {e}")
         return last_metrics

@@ -38,6 +38,89 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class DispatchStats:
+    """Per-signature dispatch timing — splits a stage's wall into compile
+    and steady-state (VERDICT r4 #3: the feasibility model could not be
+    corrected because integrated runs never separated the two).
+
+    Engines record every device dispatch under its compile signature; the
+    FIRST dispatch of a signature carries its (remote) compile, so the
+    stage's compile share is estimated as ``prewarm_s + Σ_sig max(0,
+    first − steady_mean)``.  A signature dispatched only once counts its
+    whole first call as compile — an overestimate by one execution, which
+    on the tunneled chip (warm compiles 17–46 s, executions ≤ a few s) is
+    a small, conservative bias.  Stage CLIs dump :meth:`summary` to
+    ``engine_stats.json``; ``run_timed_round`` folds it into the ROUND
+    report."""
+
+    def __init__(self):
+        self.prewarm_s = 0.0
+        self._first: Dict[str, float] = {}
+        self._rest: Dict[str, list] = {}
+
+    def record(self, sig, seconds: float) -> None:
+        sig = str(sig)
+        if sig not in self._first:
+            self._first[sig] = seconds
+        else:
+            self._rest.setdefault(sig, []).append(seconds)
+
+    def add_prewarm(self, seconds: float) -> None:
+        self.prewarm_s += seconds
+
+    @contextlib.contextmanager
+    def timed(self, sig) -> Iterator[None]:
+        t0 = time.time()
+        yield
+        self.record(sig, time.time() - t0)
+
+    def summary(self) -> Dict:
+        per_sig = {}
+        compile_est = self.prewarm_s
+        steady_s = 0.0
+        for sig, first in self._first.items():
+            rest = self._rest.get(sig, [])
+            steady = sum(rest) / len(rest) if rest else None
+            est = first if steady is None else max(0.0, first - steady)
+            compile_est += est
+            steady_s += sum(rest) + (first - est)
+            per_sig[sig] = {
+                "n": 1 + len(rest),
+                "first_s": round(first, 2),
+                "steady_mean_s": None if steady is None else round(steady, 2),
+            }
+        return {
+            "prewarm_s": round(self.prewarm_s, 1),
+            "compile_s_est": round(compile_est, 1),
+            "steady_s": round(steady_s, 1),
+            "signatures": per_sig,
+        }
+
+
+def dump_engine_stats(save_path: str, **engines) -> Optional[str]:
+    """Write each engine's DispatchStats summary (engines without one are
+    skipped) to ``{save_path}/engine_stats.json``.  Best-effort: stats are
+    diagnostics, never worth failing a stage over."""
+    import json
+
+    out = {}
+    for name, engine in engines.items():
+        stats = getattr(engine, "dispatch_stats", None)
+        if stats is not None:
+            out[name] = stats.summary()
+    if not out:
+        return None
+    try:
+        os.makedirs(save_path, exist_ok=True)
+        path = os.path.join(save_path, "engine_stats.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        return path
+    except OSError as e:
+        print(f"# engine_stats.json not written: {e}")
+        return None
+
+
 class ThroughputMeter:
     """Rolling throughput over a window of recent update() calls."""
 

@@ -45,7 +45,7 @@ FIXTURES = os.path.join(REPO, "tests", "fixtures", "examples")
 BUDGET = {
     "step2_tok_s": 1378.0,     # stage-true p1200 B=32 (stage_shapes.log, r4)
     "step3_imgtok_s": 990.2,   # serving default B=24 (round 4 re-anchor)
-    "step4b_pairs_h": 3577.3,  # rows=16 pre-image shared segment (round 4)
+    "step4b_pairs_h": 3853.5,  # rows=16 Q-uniform production shape (r4 grid)
     "step5_samples_s": 2.04,
 }
 
@@ -78,7 +78,21 @@ def run_stage(name: str, module: str, cfg: dict, out_dir: str,
     dt = time.time() - t0
     ok = proc.returncode == 0
     print(f"### {name}: {dt:.1f}s rc={proc.returncode}", flush=True)
-    return {"seconds": round(dt, 1), "ok": ok}
+    r = {"seconds": round(dt, 1), "ok": ok}
+    # compile/steady split (VERDICT r4 #3): the stage engines dump
+    # per-signature dispatch timing; fold the estimate into the report so
+    # the feasibility model can be corrected from integrated runs
+    stats_path = os.path.join(cfg.get("save_path") or out_dir,
+                              "engine_stats.json")
+    try:
+        with open(stats_path) as f:
+            stats = json.load(f)
+        r["compile_s_est"] = round(sum(
+            s.get("compile_s_est", 0.0) for s in stats.values()), 1)
+        r["steady_seconds_est"] = round(r["seconds"] - r["compile_s_est"], 1)
+    except (OSError, ValueError):
+        pass
+    return r
 
 
 def main() -> None:
@@ -87,7 +101,7 @@ def main() -> None:
     parser.add_argument("--out", default="outputs-timed")
     parser.add_argument("--preset", default="7b")
     parser.add_argument("--stages", default="1,2,3,4,5")
-    parser.add_argument("--report", default="ROUND_r04.json")
+    parser.add_argument("--report", default="ROUND_r05.json")
     args = parser.parse_args()
     stages = set(args.stages.split(","))
     n = args.items
@@ -252,23 +266,39 @@ def main() -> None:
         r["items"] = n
         r["pairs"] = pairs
         r["items_per_h"] = round(n / r["seconds"] * 3600, 1)
+        # per-category scored/failed/pairs — the r4 round lost the whole
+        # complex category silently; the report now carries the evidence
+        try:
+            with open(os.path.join(out, "step4", "score_summary.json")) as f:
+                r["per_category"] = json.load(f)
+        except Exception:
+            r["per_category"] = None
         report["stages"]["step4b"] = r
 
-    # ---- step 5: SimPO training on pairs from step3's tree ----
+    # ---- step 5: SimPO training on step 4b's SELECTED pairs (the real
+    # pipeline wiring — ospo/step5.py:17-59 consumes step 4's train.json);
+    # falls back to raw step-3 (base, negative) pairs only when step 4
+    # wasn't part of this run ----
     if "5" in stages:
         train = []
-        for rec in long_prompt:
-            b = os.path.join(out, "step3", "base", rec["category"],
-                             rec["item_id"], "00.png")
-            ng = os.path.join(out, "step3", "negative", rec["category"],
-                              rec["item_id"], "00.png")
-            if os.path.exists(b) and os.path.exists(ng):
-                train.append({
-                    "item_id": rec["item_id"], "category": rec["category"],
-                    "sub_category": rec["sub_category"],
-                    "question": [], "prompt": rec["prompt"],
-                    "chosen": b, "rejected": ng, "metadata": {},
-                })
+        step4_train = os.path.join(out, "step4", "train.json")
+        if os.path.exists(step4_train):
+            with open(step4_train) as f:
+                train = json.load(f)
+            print(f"### step5 consumes step4's train.json ({len(train)} pairs)")
+        if not train:
+            for rec in long_prompt:
+                b = os.path.join(out, "step3", "base", rec["category"],
+                                 rec["item_id"], "00.png")
+                ng = os.path.join(out, "step3", "negative", rec["category"],
+                                  rec["item_id"], "00.png")
+                if os.path.exists(b) and os.path.exists(ng):
+                    train.append({
+                        "item_id": rec["item_id"], "category": rec["category"],
+                        "sub_category": rec["sub_category"],
+                        "question": [], "prompt": rec["prompt"],
+                        "chosen": b, "rejected": ng, "metadata": {},
+                    })
         with open(os.path.join(out, "train.json"), "w") as f:
             json.dump(train, f)
         r = run_stage("step5", "ospo_tpu.pipeline.step5", {
@@ -300,6 +330,14 @@ def main() -> None:
         }, out)
         r["pairs"] = len(train)
         r["samples_per_s_wall"] = round(len(train) / r["seconds"], 3)
+        # trainer-side compile/steady split (train_stats.json — the first
+        # optimizer update bounds the train-step compile)
+        try:
+            with open(os.path.join(out, "step5", "timed",
+                                   "train_stats.json")) as f:
+                r["train_stats"] = json.load(f)
+        except Exception:
+            r["train_stats"] = None
         report["stages"]["step5"] = r
 
     total = sum(s["seconds"] for s in report["stages"].values())
