@@ -271,8 +271,14 @@ def bench_text(preset: str) -> None:
     # the step-1 shape). Tails break the common prefix exactly where the
     # per-item text starts, so the shared-prefix program splits there.
     tail_len = int(os.environ.get("OSPO_BENCH_TAIL_LEN", "0"))
+    # production sampler knob (round 5): configs/step2.yaml samples with
+    # top_p=0.5 — the r4 stage POINTs ran top_p=None, and the integrated
+    # round exposed a ~4x gap from the full-vocab nucleus sort
+    # (ROUND_r05.json step2).  OSPO_BENCH_TOP_P measures the real regime.
+    top_p_env = os.environ.get("OSPO_BENCH_TOP_P")
     engine = TextGenEngine(model, proc, max_new_tokens=max_new,
                            temperature=1.0, do_sample=True,
+                           top_p=float(top_p_env) if top_p_env else None,
                            kv_quant=os.environ.get("OSPO_BENCH_KV") or False)
     for b in batches:
         try:

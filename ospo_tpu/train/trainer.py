@@ -72,6 +72,7 @@ class SimPOTrainer:
         self.config = config
         self.model = model
         self.processor = processor
+        self._t_pad = None          # run-level text bucket, set by fit()
 
         algo = config.get("algo") or {}
         self.simpo_cfg = SimPOConfig(
@@ -260,7 +261,13 @@ class SimPOTrainer:
     # preprocessing (host): variable-length text → bucketed arrays
     # ------------------------------------------------------------------
     def collate(self, items: List[Dict]) -> Dict[str, np.ndarray]:
-        t_max = _bucket(max(len(it["text_tokens"]) for it in items))
+        # one static bucket per RUN when fit() has seen the dataset
+        # (self._t_pad): per-batch buckets made shuffled short/long batches
+        # dispatch different shapes — up to 6 XLA signatures (~100 s remote
+        # compile each) billed to "steady state" in the r5 integrated round
+        # (0.537 samples/s vs the 2.04 single-shape POINT, ROUND_r05.json)
+        t_max = self._t_pad or _bucket(
+            max(len(it["text_tokens"]) for it in items))
         b = len(items)
         text_ids = np.zeros((b, t_max), np.int32)
         text_mask = np.zeros((b, t_max), np.float32)
@@ -404,6 +411,10 @@ class SimPOTrainer:
             max_epochs: int = 1) -> Dict[str, float]:
         if self.is_main:
             save_config(self.log_dir, self.config)
+        # pin ONE text bucket for the whole run (see collate) — a host
+        # tokenization pass, no image IO
+        if hasattr(dataset, "max_text_len"):
+            self._t_pad = _bucket(dataset.max_text_len())
         last_metrics: Dict[str, float] = {}
         t0 = time.time()
         samples = 0

@@ -89,3 +89,87 @@ def test_top_p_normal_case_matches_hf_cutoff():
     # whose preceding cumulative mass first reaches top_p)
     np.testing.assert_array_equal(np.isfinite(out[0]),
                                   [True, True, False, False])
+
+
+# ---- top-k-bounded nucleus sampler (round 5: the full-vocab double
+# argsort in top_p_filter dominated integrated step-2 decode; see
+# ROUND_r05.json / BENCH_NOTES round 5) ----
+
+def _kept_set_exact(logits, top_p):
+    """Support of the exact nucleus filter, per row."""
+    filt = np.asarray(top_p_filter(jnp.asarray(logits), top_p))
+    return [set(np.nonzero(~np.isinf(filt[r]))[0].tolist())
+            for r in range(filt.shape[0])]
+
+
+def test_topk_nucleus_support_matches_exact_when_nucleus_fits():
+    """Peaked logits (nucleus ≪ K): every sampled token lies in the exact
+    filter's support, and every exact-support token is reachable."""
+    from ospo_tpu.ops.sampling import top_p_sample_topk
+
+    rng = np.random.default_rng(2)
+    # sharply peaked rows: a handful of large logits, long flat tail
+    logits = rng.normal(size=(4, 500)).astype(np.float32)
+    logits[:, :6] += 12.0
+    for top_p in (0.3, 0.5, 0.9):
+        exact = _kept_set_exact(logits, top_p)
+        keys = jax.random.split(jax.random.PRNGKey(3), 600)
+        samples = jax.vmap(
+            lambda k: top_p_sample_topk(k, jnp.asarray(logits), top_p, 64)
+        )(keys)
+        samples = np.asarray(samples)          # [600, 4]
+        for r in range(4):
+            seen = set(samples[:, r].tolist())
+            assert seen <= exact[r], (top_p, r, seen - exact[r])
+            # every exact-nucleus token shows up across 600 draws
+            assert seen == exact[r], (top_p, r, exact[r] - seen)
+
+
+def test_topk_nucleus_renormalized_probabilities_match_exact():
+    """Within-support sampling frequencies track softmax restricted to
+    the exact nucleus (distributional parity, not just support)."""
+    from ospo_tpu.ops.sampling import top_p_sample_topk
+
+    logits = jnp.asarray([[4.0, 3.0, 2.0] + [-8.0] * 97])
+    top_p = 0.9
+    keys = jax.random.split(jax.random.PRNGKey(4), 6000)
+    samples = np.asarray(jax.vmap(
+        lambda k: top_p_sample_topk(k, logits, top_p, 16)
+    )(keys)).ravel()
+    kept = sorted(_kept_set_exact(np.asarray(logits), top_p)[0])
+    sub = np.asarray(logits)[0, kept]
+    expect = np.exp(sub) / np.exp(sub).sum()
+    counts = np.asarray([(samples == t).mean() for t in kept])
+    assert samples.max() <= max(kept)
+    np.testing.assert_allclose(counts, expect, atol=0.03)
+
+
+def test_topk_nucleus_truncates_to_topk_on_flat_logits():
+    """Near-uniform logits (nucleus > K): documented degradation to
+    top-k sampling — samples stay within the K highest logits instead of
+    nucleus sampling switching itself off."""
+    from ospo_tpu.ops.sampling import top_p_sample_topk
+
+    rng = np.random.default_rng(5)
+    logits = rng.normal(size=(1, 2048)).astype(np.float32) * 0.01
+    k = 32
+    topk_idx = set(np.argsort(-logits[0])[:k].tolist())
+    keys = jax.random.split(jax.random.PRNGKey(6), 400)
+    samples = np.asarray(jax.vmap(
+        lambda kk: top_p_sample_topk(kk, jnp.asarray(logits), 0.99, k)
+    )(keys)).ravel()
+    assert set(samples.tolist()) <= topk_idx
+
+
+def test_sample_token_topp_exact_env_roundtrip(monkeypatch):
+    """OSPO_TOPP_EXACT=1 restores the full-sort path; both paths stay in
+    the exact nucleus support on peaked logits."""
+    logits = jnp.asarray([[6.0, 5.0, -9.0, -9.0]])
+    exact = _kept_set_exact(np.asarray(logits), 0.8)[0]
+    for env in ("1", ""):
+        monkeypatch.setenv("OSPO_TOPP_EXACT", env)
+        keys = jax.random.split(jax.random.PRNGKey(7), 300)
+        samples = np.asarray(jax.vmap(
+            lambda k: sample_token(k, logits, temperature=1.0, top_p=0.8)
+        )(keys)).ravel()
+        assert set(samples.tolist()) <= exact

@@ -228,3 +228,49 @@ def test_quantize_base_mode_mismatch_raises(tmp_path):
     })
     with pytest.raises(ValueError, match="already int8-quantized"):
         SimPOTrainer(config, model, proc)
+
+
+class _VarLenDataset(_StubDataset):
+    """Prompts of wildly varying token length — per-batch padding would
+    dispatch several train-step shapes across a shuffled run."""
+
+    LENGTHS = [3, 30, 60, 120, 180]
+
+    def _item(self, j):
+        it = super()._item(j)
+        it["text_tokens"] = list(range(1, 1 + self.LENGTHS[j % 5]))
+        return it
+
+    def max_text_len(self):
+        return max(self.LENGTHS)
+
+
+def test_fit_pins_single_text_bucket(tmp_path):
+    """Round-5 regression: fit() must pad every batch to ONE run-level
+    text bucket (dataset.max_text_len) so the jitted train step compiles
+    exactly once — per-batch buckets billed up to 6 mid-run XLA compiles
+    to steady state in the integrated round (ROUND_r05.json step5:
+    0.537 samples/s vs the single-shape 2.04 POINT)."""
+    trainer, model = make_trainer(tmp_path)
+    trainer.max_steps = 4
+    shapes = []
+    inner = trainer._step
+
+    def spy(trainable, opt_state, text_ids, text_mask, *a, **kw):
+        shapes.append(tuple(text_ids.shape))
+        return inner(trainable, opt_state, text_ids, text_mask, *a, **kw)
+
+    trainer._step = spy
+    trainer.fit(_VarLenDataset(model.cfg, 8), batch_size=2, max_epochs=1)
+    assert len(set(shapes)) == 1, f"multiple train-step shapes: {set(shapes)}"
+    # the single bucket covers the dataset's longest prompt (180 → 192)
+    assert shapes[0][1] == 192
+
+
+def test_collate_without_fit_keeps_per_batch_bucket(tmp_path):
+    """Standalone collate (no fit) keeps the old per-batch bucket — the
+    bench path and tests that drive _step directly are unaffected."""
+    trainer, model = make_trainer(tmp_path)
+    ds = _VarLenDataset(model.cfg, 5)
+    out = trainer.collate([ds._item(0)])        # len 3 → bucket 32
+    assert out["text_ids"].shape[1] == 32
