@@ -53,10 +53,20 @@ class DispatchStats:
     ``engine_stats.json``; ``run_timed_round`` folds it into the ROUND
     report."""
 
+    # a steady dispatch this many times slower than its own signature's
+    # FIRST dispatch (which already ran the program, usually with its
+    # compile on top) is a chip-health anomaly, not program behavior —
+    # r5 integrated rerun: ('shared',32,768,128) first-dispatched in
+    # 12.8 s, then three dispatches of the same executable took 453 s
+    # each (degraded-tunnel window, BENCH_NOTES round 5)
+    ANOMALY_FACTOR = 4.0
+    ANOMALY_FLOOR_S = 5.0  # ignore sub-second jitter
+
     def __init__(self):
         self.prewarm_s = 0.0
         self._first: Dict[str, float] = {}
         self._rest: Dict[str, list] = {}
+        self._anomaly: Dict[str, list] = {}
 
     def record(self, sig, seconds: float) -> None:
         sig = str(sig)
@@ -64,6 +74,14 @@ class DispatchStats:
             self._first[sig] = seconds
         else:
             self._rest.setdefault(sig, []).append(seconds)
+            first = self._first[sig]
+            if seconds > max(self.ANOMALY_FACTOR * first,
+                             first + self.ANOMALY_FLOOR_S):
+                self._anomaly.setdefault(sig, []).append(seconds)
+                print(f"# DISPATCH ANOMALY {sig}: {seconds:.1f}s steady vs "
+                      f"{first:.1f}s first dispatch of the same executable "
+                      f"— degraded chip/tunnel window, not a regression",
+                      flush=True)
 
     def add_prewarm(self, seconds: float) -> None:
         self.prewarm_s += seconds
@@ -78,23 +96,37 @@ class DispatchStats:
         per_sig = {}
         compile_est = self.prewarm_s
         steady_s = 0.0
+        anomaly_s = 0.0
         for sig, first in self._first.items():
             rest = self._rest.get(sig, [])
-            steady = sum(rest) / len(rest) if rest else None
+            anomalies = self._anomaly.get(sig, [])
+            # anomalous dispatches' EXCESS over the first-dispatch time is
+            # chip-health wall, not steady-state: report it separately so
+            # integrated feasibility math can exclude it mechanically
+            sig_anom = sum(a - first for a in anomalies)
+            clean = [r for r in rest if r not in anomalies] or rest
+            steady = sum(clean) / len(clean) if rest else None
             est = first if steady is None else max(0.0, first - steady)
             compile_est += est
-            steady_s += sum(rest) + (first - est)
+            steady_s += sum(rest) - sig_anom + (first - est)
+            anomaly_s += sig_anom
             per_sig[sig] = {
                 "n": 1 + len(rest),
                 "first_s": round(first, 2),
                 "steady_mean_s": None if steady is None else round(steady, 2),
             }
-        return {
+            if anomalies:
+                per_sig[sig]["anomalies"] = len(anomalies)
+                per_sig[sig]["anomaly_s"] = round(sig_anom, 1)
+        out = {
             "prewarm_s": round(self.prewarm_s, 1),
             "compile_s_est": round(compile_est, 1),
             "steady_s": round(steady_s, 1),
             "signatures": per_sig,
         }
+        if anomaly_s:
+            out["anomaly_s"] = round(anomaly_s, 1)
+        return out
 
 
 def dump_engine_stats(save_path: str, **engines) -> Optional[str]:

@@ -27,7 +27,7 @@ item (reference loop: /root/reference/scripts/run.sh:6-17):
 
 Usage:
     python scripts/reconcile_feasibility.py [ROUND_r05.json]
-        [--quotas 4500,16000] [--chips 8] [--md]
+        [--quotas 2304,16000] [--chips 8] [--md]
 """
 
 from __future__ import annotations
@@ -55,7 +55,10 @@ def stage_split(s: dict) -> tuple:
     compile_s = float(s.get("compile_s_est") or 0.0)
     if not compile_s and isinstance(s.get("train_stats"), dict):
         compile_s = float(s["train_stats"].get("first_update_s") or 0.0)
-    return compile_s, max(0.0, wall - compile_s)
+    # chip-health anomaly wall (DispatchStats >4x-first windows) is
+    # neither compile nor steady — drop it from the scalable share
+    anomaly_s = float(s.get("anomaly_s_est") or 0.0)
+    return compile_s, max(0.0, wall - compile_s - anomaly_s)
 
 
 def project(report: dict, quota: int, chips: int) -> dict:
@@ -106,7 +109,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("report", nargs="?",
                     default=os.path.join(REPO, "ROUND_r05.json"))
-    ap.add_argument("--quotas", default="4500,16000")
+    ap.add_argument("--quotas", default="2304,16000")
     ap.add_argument("--chips", type=int, default=8)
     ap.add_argument("--md", action="store_true",
                     help="print markdown tables for BENCH_NOTES")

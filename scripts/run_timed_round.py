@@ -43,7 +43,8 @@ FIXTURES = os.path.join(REPO, "tests", "fixtures", "examples")
 # BENCH_NOTES budget model (measured per-chip rates, round 2) — the
 # comparison column in ROUND_r03.json
 BUDGET = {
-    "step2_tok_s": 1378.0,     # stage-true p1200 B=32 (stage_shapes.log, r4)
+    "step2_tok_s": 1342.8,     # p1200 B=32 at the PRODUCTION top_p=0.5
+                               # sampler (sampler_r5.log, r5)
     "step3_imgtok_s": 990.2,   # serving default B=24 (round 4 re-anchor)
     "step4b_pairs_h": 3853.5,  # rows=16 Q-uniform production shape (r4 grid)
     "step5_samples_s": 2.04,
@@ -89,7 +90,15 @@ def run_stage(name: str, module: str, cfg: dict, out_dir: str,
             stats = json.load(f)
         r["compile_s_est"] = round(sum(
             s.get("compile_s_est", 0.0) for s in stats.values()), 1)
-        r["steady_seconds_est"] = round(r["seconds"] - r["compile_s_est"], 1)
+        # chip-health anomaly wall (steady dispatches >4x their own
+        # signature's first dispatch — DispatchStats): excluded from the
+        # steady estimate so the feasibility model scales clean rates
+        anomaly = round(sum(
+            s.get("anomaly_s", 0.0) for s in stats.values()), 1)
+        if anomaly:
+            r["anomaly_s_est"] = anomaly
+        r["steady_seconds_est"] = round(
+            r["seconds"] - r["compile_s_est"] - anomaly, 1)
     except (OSError, ValueError):
         pass
     return r

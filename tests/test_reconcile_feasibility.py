@@ -62,3 +62,13 @@ def test_cli_markdown(tmp_path):
     assert "step5" in out.stdout
     # no missing-split warning: every stage has one
     assert "WARNING" not in out.stderr
+
+
+def test_stage_split_drops_anomaly_wall():
+    """Chip-health anomaly wall (DispatchStats >4x-first windows) must not
+    be scaled as steady-state — round 5's rerun carried ~1320 s of
+    degraded-tunnel dispatches in one signature."""
+    c, s = rf.stage_split({"seconds": 2611.2, "compile_s_est": 445.9,
+                           "anomaly_s_est": 1320.8})
+    assert c == 445.9
+    assert abs(s - (2611.2 - 445.9 - 1320.8)) < 1e-6
