@@ -194,6 +194,10 @@ def bench_train(preset: str) -> None:
     batch_env = os.environ.get("OSPO_BENCH_BATCH")
     batches = [int(batch_env)] if batch_env else [2, 1]
     s = cfg.gen_image_size
+    # text bucket per sample; the 2.04-samples/s POINT is text_len=32
+    # (608-token rows). Integrated rounds pin the bucket to the run's
+    # longest prompt (trainer.fit), so reconciliation A/Bs raise this.
+    text_len = int(os.environ.get("OSPO_BENCH_TRAIN_TEXT", "32"))
     key = jax.random.PRNGKey(5)
     for b in batches:
         try:
@@ -202,8 +206,8 @@ def bench_train(preset: str) -> None:
                 # memoized by remote executors and report fake timings
                 k = jax.random.fold_in(key, i)
                 return {
-                    "text_ids": jnp.ones((b, 32), jnp.int32),
-                    "text_mask": jnp.ones((b, 32), jnp.float32),
+                    "text_ids": jnp.ones((b, text_len), jnp.int32),
+                    "text_mask": jnp.ones((b, text_len), jnp.float32),
                     "chosen_pixels": jax.random.uniform(k, (b, s, s, 3)) * 2 - 1,
                     "rejected_pixels": jax.random.uniform(
                         jax.random.fold_in(k, 1), (b, s, s, 3)) * 2 - 1,
@@ -222,7 +226,8 @@ def bench_train(preset: str) -> None:
                 float(m["loss"])  # full sync
                 times.append(time.time() - t0)
             dt = min(times)
-            print(f"# train preset={preset} batch={b} compile={compile_s:.1f}s "
+            print(f"# train preset={preset} batch={b} text_len={text_len} "
+                  f"compile={compile_s:.1f}s "
                   f"step={dt:.2f}s loss={float(m['loss']):.4f}",
                   file=sys.stderr)
             print(json.dumps({
@@ -231,6 +236,7 @@ def bench_train(preset: str) -> None:
                 "unit": "samples/s",
                 "vs_baseline": 0.0,  # no reference number exists (BASELINE.md)
                 "batch": b,
+                "text_len": text_len,
                 "preset": preset,
             }))
             return

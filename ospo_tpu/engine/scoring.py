@@ -20,6 +20,7 @@ import numpy as np
 
 from ospo_tpu.models import janus as janus_lib
 from ospo_tpu.models import llama
+from ospo_tpu.ops import pixels as pixels_ops
 from ospo_tpu.processing import Processor
 
 
@@ -152,7 +153,11 @@ class ScoringEngine:
         """[N, H, W, 3] → aligned image embeddings [N, T2, D].  A separate
         program from the trunk prefill so the ViT activations and the
         trunk weights + KV cache never share one program's HBM peak
-        (combined they OOMed a 16 GB chip at 7B, N=6)."""
+        (combined they OOMed a 16 GB chip at 7B, N=6).  Shared-path
+        chunks arrive uint8 (normalize fuses into the first ViT conv);
+        the per-image fallback still ships host-normalized float."""
+        pixel_values = pixels_ops.normalize_pixels(
+            pixel_values, self.processor.image_processor)
         return janus_lib.encode_images(params, self.model.cfg, pixel_values)
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -496,8 +501,10 @@ class ScoringEngine:
         prefix_mask = np.pad(np.ones(rest, np.int32), (lpad, 0))
         prefix_seq_mask = np.pad(seq_mask_full[pre_n:common], (lpad, 0))
         pixel_values = np.stack([
-            self.processor.image_processor([img])[0] for img in images
-        ])                                               # [N, H, W, 3]
+            self.processor.image_processor.process_one_u8(img)
+            for img in images
+        ])                  # [N, H, W, 3] uint8 — normalized on device in
+        #                     _encode_images; 4x fewer transfer bytes/chunk
         t2 = self.processor.num_image_tokens
         emb_mask = np.ones((n, 1, t2), bool)
 

@@ -77,6 +77,13 @@ class ImageProcessor:
             )
         return arr  # [H, W, 3]
 
+    def process_one_u8(self, img: Image.Image) -> np.ndarray:
+        """Resize/pad only — rescale + normalize run ON DEVICE
+        (``ops.pixels.normalize_pixels``) so image batches transfer as
+        uint8, 4x fewer bytes over the host↔device link than the
+        host-normalized float32 layout ``process_one`` emits."""
+        return np.asarray(self.resize(img), np.uint8)  # [H, W, 3]
+
     def __call__(self, images: Sequence[Image.Image]) -> np.ndarray:
         """→ [n_images, H, W, 3] float32 (possibly n_images == 0)."""
         if not images:

@@ -32,6 +32,7 @@ from ospo_tpu.constants import IGNORE_ID
 from ospo_tpu.models import janus as janus_lib
 from ospo_tpu.models import llama as llama_lib
 from ospo_tpu.models import vqgan
+from ospo_tpu.ops import pixels as pixels_ops
 from ospo_tpu.parallel import mesh as mesh_lib
 from ospo_tpu.pipeline.datasets import PreferenceDataset
 from ospo_tpu.train import checkpoint as ckpt_lib
@@ -303,6 +304,10 @@ class SimPOTrainer:
         # frozen VQ tokenizer: images → codebook ids (train.py:253-258)
         vq_params, _ = assemble(jax.lax.stop_gradient(trainable))
         pixels = jnp.concatenate([chosen_pixels, rejected_pixels], axis=0)
+        # dataset batches arrive uint8 (4x fewer transfer bytes);
+        # float inputs (bench, entry, tests) pass through unchanged
+        pixels = pixels_ops.normalize_pixels(
+            pixels, self.processor.image_processor)
         img_ids = jax.lax.stop_gradient(
             vqgan.encode_to_ids(vq_params["gen_vision_model"], cfg.vq, pixels)
         )                                                       # [2B, 576]
