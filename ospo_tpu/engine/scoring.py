@@ -501,10 +501,11 @@ class ScoringEngine:
         prefix_mask = np.pad(np.ones(rest, np.int32), (lpad, 0))
         prefix_seq_mask = np.pad(seq_mask_full[pre_n:common], (lpad, 0))
         pixel_values = np.stack([
-            self.processor.image_processor.process_one_u8(img)
+            self.processor.image_processor.process_one_transfer(img)
             for img in images
         ])                  # [N, H, W, 3] uint8 — normalized on device in
         #                     _encode_images; 4x fewer transfer bytes/chunk
+        #                     (OSPO_U8_PIXELS=0 restores host float32)
         t2 = self.processor.num_image_tokens
         emb_mask = np.ones((n, 1, t2), bool)
 

@@ -84,6 +84,18 @@ class ImageProcessor:
         host-normalized float32 layout ``process_one`` emits."""
         return np.asarray(self.resize(img), np.uint8)  # [H, W, 3]
 
+    def process_one_transfer(self, img: Image.Image) -> np.ndarray:
+        """The host→device transfer layout for hot-path image batches
+        (scoring chunks, train batches): uint8 by default, or the
+        host-normalized float32 layout when ``OSPO_U8_PIXELS=0`` —
+        the A/B measurement knob and the safety valve if a backend
+        mishandles uint8 transfers."""
+        import os
+
+        if os.environ.get("OSPO_U8_PIXELS", "1").lower() in ("0", "off"):
+            return self.process_one(img)
+        return self.process_one_u8(img)
+
     def __call__(self, images: Sequence[Image.Image]) -> np.ndarray:
         """→ [n_images, H, W, 3] float32 (possibly n_images == 0)."""
         if not images:

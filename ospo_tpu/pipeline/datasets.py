@@ -124,9 +124,10 @@ class PreferenceDataset:
     def get_image(self, path: str) -> np.ndarray:
         # uint8 layout: normalize runs on device inside the train step
         # (ops.pixels.normalize_pixels) — 4x fewer transfer bytes per
-        # batch than host-normalized float32
+        # batch than host-normalized float32 (OSPO_U8_PIXELS=0 restores
+        # the host-normalized layout)
         with Image.open(self.resolve_path(path)) as img:
-            return self.processor.image_processor.process_one_u8(img)
+            return self.processor.image_processor.process_one_transfer(img)
 
     def __getitem__(self, idx: int) -> Dict:
         ex = self.dataset[idx]

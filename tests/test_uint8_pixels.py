@@ -101,6 +101,20 @@ def test_trainer_step_uint8_matches_float(tiny_trainer=None):
     assert losses[0] == pytest.approx(losses[1], abs=1e-4)
 
 
+def test_transfer_layout_knob(monkeypatch):
+    """OSPO_U8_PIXELS=0 restores the host-normalized float32 layout on
+    the shared transfer helper (A/B measurement knob + safety valve)."""
+    rng = np.random.RandomState(4)
+    ip = ImageProcessor(image_size=32)
+    img = _random_image(rng)
+    monkeypatch.delenv("OSPO_U8_PIXELS", raising=False)
+    assert ip.process_one_transfer(img).dtype == np.uint8
+    monkeypatch.setenv("OSPO_U8_PIXELS", "0")
+    off = ip.process_one_transfer(img)
+    assert off.dtype == np.float32
+    np.testing.assert_allclose(off, ip.process_one(img))
+
+
 def test_preference_dataset_emits_uint8(tmp_path):
     """PreferenceDataset.get_image returns the uint8 layout."""
     from ospo_tpu.pipeline.datasets import PreferenceDataset
